@@ -1,0 +1,179 @@
+"""End-to-end pipeline correctness: routed-row equality, per-sink counts,
+metrics merge, and kill/resume semantics (BASELINE.md graft targets)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_parsesyslog_spark.operators.enrich import enrich
+from go_parsesyslog_spark.operators.parse import parse_logs
+from go_parsesyslog_spark.operators.route import with_route_columns
+from go_parsesyslog_spark.plans.pipeline import (
+    read_dlq,
+    read_routed,
+    run_pipeline,
+)
+from go_parsesyslog_spark.sources.transcripts import (
+    REF_NOW,
+    write_transcripts_parquet,
+)
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def input_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("transcripts"))
+    write_transcripts_parquet(path, N_ROWS, seed=42, chunk_rows=1000)
+    return path
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, input_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    summary = run_pipeline(
+        spark, input_dir, out, n_units=4, n_buckets=8, resume=False
+    )
+    assert summary["complete"]
+    return out, summary
+
+
+def _oracle(spark, input_dir):
+    """Independently recompute the expected routed rows (same parse
+    operator — pinned separately by the corpus tests — but a fresh
+    plan, straight from the input, bypassing the pipeline writes)."""
+    df = spark.read.parquet(input_dir)
+    parsed = parse_logs(df, fmt="auto", ref_now=REF_NOW)
+    e = enrich(parsed, spark)
+    r = with_route_columns(e, n_buckets=8)
+    return r.withColumns(
+        {
+            "sink_sev": F.when(F.col("err_code").isNotNull(), F.lit("dlq"))
+            .otherwise(F.col("severity_class")),
+            "sink_key": F.when(F.col("err_code").isNotNull(), F.col("err_code"))
+            .otherwise(F.col("conv_bucket").cast("string")),
+        }
+    )
+
+
+KEY_COLS = ["conv_id", "turn_idx", "sink_sev", "sink_key", "message",
+            "priority", "severity", "host", "app", "msg_length"]
+
+
+def test_row_counts_conserved(spark, input_dir, pipeline_out):
+    out, summary = pipeline_out
+    assert summary["rows_valid"] + summary["rows_dlq"] == N_ROWS
+
+
+def test_routed_row_equality(spark, input_dir, pipeline_out):
+    """exceptAll in both directions empty (BASELINE.md)."""
+    out, _ = pipeline_out
+    got = spark.read.parquet(os.path.join(out, "sinks")).select(*KEY_COLS)
+    exp = _oracle(spark, input_dir).select(*KEY_COLS)
+    assert got.exceptAll(exp).isEmpty()
+    assert exp.exceptAll(got).isEmpty()
+
+
+def test_per_turn_text_equality(spark, input_dir, pipeline_out):
+    """Parsed message equality per turn under stable (conv_id, turn_idx)
+    ordering (input_hint invariant)."""
+    out, _ = pipeline_out
+    got = (
+        read_routed(spark, out)
+        .select("conv_id", "turn_idx", "message")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    exp = (
+        _oracle(spark, input_dir)
+        .filter(F.col("err_code").isNull())
+        .select("conv_id", "turn_idx", "message")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert (g["conv_id"], g["turn_idx"], g["message"]) == (
+            e["conv_id"], e["turn_idx"], e["message"]
+        )
+
+
+def test_per_sink_counts(spark, input_dir, pipeline_out):
+    out, _ = pipeline_out
+    got = {
+        (r["sink_sev"], r["sink_key"]): r["count"]
+        for r in spark.read.parquet(os.path.join(out, "sinks"))
+        .groupBy("sink_sev", "sink_key").count().collect()
+    }
+    exp = {
+        (r["sink_sev"], r["sink_key"]): r["count"]
+        for r in _oracle(spark, input_dir)
+        .groupBy("sink_sev", "sink_key").count().collect()
+    }
+    assert got == exp
+
+
+def test_dlq_routing(spark, pipeline_out):
+    """Invalid corpus lines land in the DLQ partitioned by err_code."""
+    out, _ = pipeline_out
+    dlq = read_dlq(spark, out)
+    codes = {r["sink_key"] for r in dlq.select("sink_key").distinct().collect()}
+    assert "invalid_prio" in codes
+    assert "premature_eof" in codes
+    assert dlq.filter(F.col("err_code") != F.col("sink_key")).isEmpty()
+
+
+def test_merged_metrics_match_recount(spark, pipeline_out):
+    out, _ = pipeline_out
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    total = metrics.agg(F.sum("turn_count")).collect()[0][0]
+    routed_rows = read_routed(spark, out).count()
+    assert total == routed_rows
+    per_sink_m = {
+        r["sink_id"]: r["cnt"]
+        for r in metrics.groupBy("sink_id")
+        .agg(F.sum("turn_count").alias("cnt")).collect()
+    }
+    per_sink_r = {
+        r["sink_id"]: r["count"]
+        for r in read_routed(spark, out).groupBy("sink_id").count().collect()
+    }
+    assert per_sink_m == per_sink_r
+
+
+def test_resume_skips_committed_units(spark, input_dir, tmp_path_factory):
+    """Kill/resume: a run stopped after 2 of 4 units resumes without
+    reprocessing them, and the final output matches a one-shot run."""
+    out = str(tmp_path_factory.mktemp("resume_out"))
+    s1 = run_pipeline(spark, input_dir, out, n_units=4, n_buckets=8,
+                      resume=True, max_units=2)
+    assert len(s1["units_run"]) == 2 and not s1["complete"]
+    s2 = run_pipeline(spark, input_dir, out, n_units=4, n_buckets=8,
+                      resume=True)
+    assert s2["units_skipped"] == s1["units_run"]
+    assert len(s2["units_run"]) == 2 and s2["complete"]
+    assert s2["rows_valid"] + s2["rows_dlq"] == N_ROWS
+    # no duplicates: unique (conv_id, turn_idx, unit)
+    sinks = spark.read.parquet(os.path.join(out, "sinks"))
+    assert sinks.count() == N_ROWS
+    assert sinks.select("conv_id", "turn_idx").distinct().count() == N_ROWS
+
+
+def test_salting_splits_hot_conversations(spark, input_dir):
+    df = spark.read.parquet(input_dir)
+    parsed = parse_logs(df, fmt="auto", ref_now=REF_NOW)
+    r = with_route_columns(enrich(parsed, spark), n_buckets=8,
+                           salt_buckets=8, hot_threshold=100)
+    hot = r.groupBy("conv_id").count().filter(F.col("count") > 100)
+    assert hot.count() > 0, "datagen should produce hot conversations"
+    salts = (
+        r.join(hot.select("conv_id"), "conv_id")
+        .select("salt").distinct().count()
+    )
+    assert salts > 1, "hot conversations must be salted across buckets"
+    cold_salts = (
+        r.join(hot.select("conv_id"), "conv_id", "left_anti")
+        .select("salt").distinct().collect()
+    )
+    assert [row["salt"] for row in cold_salts] == [0]
