@@ -1,38 +1,696 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship parse→enrich→aggregate over sf0.001.
+``queries()`` / ``oracle_sql()`` — one pair per implemented operator
+from SURVEY.md §2; the driver cross-checks them against DuckDB at
+sf0.01 (row count + schema + order-insensitive value hash).
+
+Design notes for the oracle pairs:
+* The log-engine operators are exercised by *constructing* syslog wire
+  text from the ``events`` table with deterministic arithmetic, parsing
+  it with the engine on the Spark side, and having DuckDB recompute the
+  expected parsed fields directly from the same arithmetic — a true
+  independent oracle for the parse semantics.
+* All numeric outputs are cast to BIGINT / exact DECIMAL→DOUBLE so both
+  engines hash identically; timestamps are emitted as formatted strings.
+* Column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+REF_NOW = pd.Timestamp("2025-10-21 15:30:00")
+
+FACILITY_LIST = (
+    "['KERN','USER','MAIL','DAEMON','AUTH','SYSLOG','LPR','NEWS','UUCP',"
+    "'CRON','AUTHPRIV','FTP','NTP','SECURITY','CONSOLE','SOLARISCRON',"
+    "'LOCAL0','LOCAL1','LOCAL2','LOCAL3','LOCAL4','LOCAL5','LOCAL6','LOCAL7']"
+)
+SEVERITY_LIST = (
+    "['EMERGENCY','ALERT','CRIT','ERROR','WARNING','NOTICE','INFO','DEBUG']"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# wire-text constructors (Spark side) — the SQL oracles mirror the same
+# arithmetic; see each oracle string.
+# ---------------------------------------------------------------------------
+
+def _with_rfc3164_text(ev: DataFrame) -> DataFrame:
+    """<pri>Oct 11 HH:MM:SS h<u> app<a>[pid]: evt <type> #<id>"""
+    return ev.withColumn(
+        "text",
+        F.format_string(
+            "<%d>Oct 11 %02d:%02d:%02d h%d app%d[%d]: evt %s #%d",
+            (F.col("event_id") % 192).cast("int"),
+            (F.col("event_id") % 14).cast("int"),
+            ((F.col("event_id") * 11) % 60).cast("int"),
+            ((F.col("event_id") * 29) % 60).cast("int"),
+            (F.col("user_id") % 50).cast("int"),
+            (F.col("event_id") % 7).cast("int"),
+            (F.col("event_id") % 1000).cast("int"),
+            F.col("event_type"),
+            F.col("event_id").cast("int"),
+        ),
+    )
+
+
+def _with_rfc5424_text(ev: DataFrame, frame_extra: F.Column | None = None) -> DataFrame:
+    content = F.format_string(
+        '<%d>1 2024-01-%02dT%02d:%02d:%02dZ h%d app%d %d ID%d '
+        '[ev@1 type="%s" k="%d"] evt %s #%d',
+        (F.col("event_id") % 192).cast("int"),
+        (1 + F.col("event_id") % 28).cast("int"),
+        (F.col("event_id") % 14).cast("int"),
+        ((F.col("event_id") * 11) % 60).cast("int"),
+        ((F.col("event_id") * 29) % 60).cast("int"),
+        (F.col("user_id") % 50).cast("int"),
+        (F.col("event_id") % 7).cast("int"),
+        (F.col("event_id") % 1000).cast("int"),
+        (F.col("event_id") % 97).cast("int"),
+        F.col("event_type"),
+        (F.col("event_id") % 100).cast("int"),
+        F.col("event_type"),
+        F.col("event_id").cast("int"),
+    )
+    ev = ev.withColumn("_content", content)
+    frame = F.length("_content")
+    if frame_extra is not None:
+        frame = frame + frame_extra
+    return ev.withColumn(
+        "text", F.concat(frame.cast("string"), F.lit(" "), F.col("_content"))
+    ).drop("_content")
+
+
+# SQL fragments shared by the oracles (DuckDB dialect)
+_SQL_3164_FIELDS = """
+  event_id,
+  (event_id % 192)::BIGINT AS priority,
+  ((event_id % 192) >> 3)::BIGINT AS facility,
+  ((event_id % 192) & 7)::BIGINT AS severity,
+  ({fac_list})[((event_id % 192) >> 3) + 1] AS facility_name,
+  ({sev_list})[((event_id % 192) & 7) + 1] AS severity_name,
+  'h' || (user_id % 50) AS host,
+  'app' || (event_id % 7) AS app,
+  (event_id % 1000)::VARCHAR AS pid,
+  'evt ' || event_type || ' #' || event_id AS message,
+  length('evt ' || event_type || ' #' || event_id)::BIGINT AS msg_length,
+  '2025-10-11 ' || lpad((event_id % 14)::VARCHAR, 2, '0') || ':'
+     || lpad(((event_id * 11) % 60)::VARCHAR, 2, '0') || ':'
+     || lpad(((event_id * 29) % 60)::VARCHAR, 2, '0') AS msg_ts_str
+""".format(fac_list=FACILITY_LIST, sev_list=SEVERITY_LIST)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_rfc3164_parse(spark, sf_dir):
+    """A5-A13: full RFC3164 field extraction (PRI arithmetic, name
+    tables, timestamp, host, tag app/pid, message)."""
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    ev = _with_rfc3164_text(_t(spark, sf_dir, "events"))
+    p = parse_logs(ev, fmt="rfc3164", ref_now=REF_NOW)
+    from go_parsesyslog_spark.functions.priority import (
+        facility_name,
+        severity_name,
+    )
+
+    return p.select(
+        "event_id",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        facility_name(F.col("facility")).alias("facility_name"),
+        severity_name(F.col("severity")).alias("severity_name"),
+        "host",
+        "app",
+        "pid",
+        "message",
+        F.col("msg_length").cast("long").alias("msg_length"),
+        F.date_format("msg_ts", "yyyy-MM-dd HH:mm:ss").alias("msg_ts_str"),
+    )
+
+
+def q_rfc3164_dlq(spark, sf_dir):
+    """A19: error taxonomy — PRI out of range routes to err_code, the
+    parse never throws."""
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "text",
+        F.format_string(
+            "<%d>Oct 11 10:00:00 host app: x",
+            (F.col("event_id") % 250).cast("int"),
+        ),
+    )
+    p = parse_logs(ev, fmt="rfc3164", ref_now=REF_NOW)
+    return p.select("event_id", "err_code")
+
+
+def q_rfc3164_year_inference(spark, sf_dir):
+    """A10: year inference — stamps >31 days in the future roll back one
+    year (date.go:73-86)."""
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "text",
+        F.concat(
+            F.lit("<13>"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("Dec")).otherwise(F.lit("Sep")),
+            F.lit(" 11 10:00:00 host app: x"),
+        ),
+    )
+    p = parse_logs(ev, fmt="rfc3164", ref_now=REF_NOW)
+    return p.select("event_id", F.year("msg_ts").cast("long").alias("msg_year"))
+
+
+def q_rfc5424_parse(spark, sf_dir):
+    """A14-A15: octet-framed header parse (7 ordered fields)."""
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    ev = _with_rfc5424_text(_t(spark, sf_dir, "events"))
+    p = parse_logs(ev, fmt="rfc5424")
+    return p.select(
+        "event_id",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("proto_version").cast("long").alias("proto_version"),
+        "host",
+        "app",
+        F.col("pid").alias("procid"),
+        "msgid",
+        "message",
+        F.col("msg_length").cast("long").alias("msg_length"),
+        F.date_format("msg_ts", "yyyy-MM-dd HH:mm:ss").alias("msg_ts_str"),
+    )
+
+
+def q_rfc5424_sd_explode(spark, sf_dir):
+    """A16: STRUCTURED-DATA parse → exploded (sd_id, key, val) rows."""
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    ev = _with_rfc5424_text(_t(spark, sf_dir, "events"))
+    p = parse_logs(ev, fmt="rfc5424")
+    return (
+        p.select("event_id", F.explode("structured_data").alias("sd"))
+        .select("event_id", F.col("sd.sd_id").alias("sd_id"),
+                F.explode("sd.params").alias("p"))
+        .select("event_id", "sd_id", F.col("p.key").alias("param_key"),
+                F.col("p.val").alias("param_val"))
+    )
+
+
+def q_rfc5424_frame_validation(spark, sf_dir):
+    """A14: frame-length reconciliation — an off-by-one-high frame makes
+    the body read hit EOF → premature_eof (corpus invalid[15]/[17])."""
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    extra = F.when(F.col("event_id") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+    ev = _with_rfc5424_text(_t(spark, sf_dir, "events"), frame_extra=extra)
+    p = parse_logs(ev, fmt="rfc5424")
+    return p.select("event_id", "err_code")
+
+
+def q_priority_names(spark, sf_dir):
+    """A6-A8: facility/severity derivation + name tables over the full
+    0..191 priority range."""
+    ev = _t(spark, sf_dir, "events")
+    from go_parsesyslog_spark.functions.priority import (
+        facility_name,
+        severity_name,
+    )
+
+    pri = (F.col("event_id") % 192).cast("int")
+    return (
+        ev.select(
+            pri.cast("long").alias("priority"),
+            F.shiftright(pri, 3).cast("long").alias("facility"),
+            pri.bitwiseAND(F.lit(7)).cast("long").alias("severity"),
+            facility_name(F.shiftright(pri, 3)).alias("facility_name"),
+            severity_name(pri.bitwiseAND(F.lit(7))).alias("severity_name"),
+        )
+        .distinct()
+    )
+
+
+def q_severity_class_counts(spark, sf_dir):
+    """Route-stage aggregation shape: counts per severity_class ×
+    bucket."""
+    ev = _t(spark, sf_dir, "events")
+    sev = (F.col("event_id") % 192) % 8
+    cls = (
+        F.when(sev <= 2, "emergency")
+        .when(sev == 3, "error")
+        .when(sev <= 5, "warn")
+        .otherwise("info")
+    )
+    return (
+        ev.select(cls.alias("severity_class"),
+                  (F.col("event_id") % 16).cast("long").alias("bucket"))
+        .groupBy("severity_class", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("turn_count"))
+    )
+
+
+def q_hourly_sink_agg(spark, sf_dir):
+    """Windowed per-sink counts (F.window tumbling 1 hour)."""
+    ev = _t(spark, sf_dir, "events")
+    sev = (F.col("event_id") % 192) % 8
+    cls = (
+        F.when(sev <= 2, "emergency")
+        .when(sev == 3, "error")
+        .when(sev <= 5, "warn")
+        .otherwise("info")
+    )
+    return (
+        ev.withColumn("severity_class", cls)
+        .groupBy("severity_class", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("turn_count"))
+        .select(
+            "severity_class",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "turn_count",
+        )
+    )
+
+
+def q_enrich_broadcast(spark, sf_dir):
+    """Broadcast hash-join enrichment against a tiny literal dim."""
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("error", 3, "error"),
+            ("view", 6, "info"),
+            ("click", 6, "info"),
+            ("signup", 5, "warn"),
+            ("purchase", 5, "warn"),
+        ],
+        "event_type string, sev_override int, event_class string",
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (exact DECIMAL aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    """Join + agg + deterministic top-k (sort-merge/broadcast join,
+    order with unique tiebreak)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").alias("revenue")
+        )
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Star-schema multi-join rollup: revenue per region/nation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Window ranking: row_number over (user, ts desc)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("latest_event"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative break sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg(
+            F.sum("brk").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                "n_sessions", "n_events")
+    )
+
+
+def q_error_users_no_purchase(spark, sf_dir):
+    """Set operation: EXCEPT via distinct projections."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return err.exceptAll(buy).select(F.col("user_id").cast("long").alias("user_id"))
+
+
+def q_props_extract(spark, sf_dir):
+    """Scalar string extraction from the JSON-ish props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"[0-9]+", 0).cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).cast("long").alias("k_sum"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy (md5 matches across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"),
+             F.min("doc_id").cast("long").alias("canonical_doc"))
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: whitespace-normalized content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: token counts + char stats per document."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[aeiou]", "")))
+        .cast("long").alias("n_vowels"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-3 neighbors for the
+    first 5 vectors (broadcast query side, JVM-side dot products)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").cast("long").alias("neighbor_id"),
+            F.round("sim", 3).alias("cosine_sim"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: construct wire messages from sf0.001 events, run the
+    full parse→enrich→aggregate DAG, return per-class hourly counts."""
+    from go_parsesyslog_spark.operators.enrich import enrich
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _with_rfc5424_text(_t(spark, sf_dir, "events"))
+    parsed = parse_logs(ev, fmt="auto")
+    e = enrich(parsed, spark)
+    return (
+        e.filter(F.col("err_code").isNull())
+        .groupBy("severity_class", "severity_name", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("turn_count"),
+             F.approx_count_distinct("user_id").alias("approx_users"))
+        .select("severity_class", "severity_name",
+                F.col("window.start").alias("window_start"),
+                "turn_count", "approx_users")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rfc3164_parse": q_rfc3164_parse,
+        "rfc3164_dlq": q_rfc3164_dlq,
+        "rfc3164_year_inference": q_rfc3164_year_inference,
+        "rfc5424_parse": q_rfc5424_parse,
+        "rfc5424_sd_explode": q_rfc5424_sd_explode,
+        "rfc5424_frame_validation": q_rfc5424_frame_validation,
+        "priority_names": q_priority_names,
+        "severity_class_counts": q_severity_class_counts,
+        "hourly_sink_agg": q_hourly_sink_agg,
+        "enrich_broadcast": q_enrich_broadcast,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_topk": q_tpch_q3_topk,
+        "tpch_q5ish": q_tpch_q5ish,
+        "latest_event_per_user": q_latest_event_per_user,
+        "sessionize": q_sessionize,
+        "error_users_no_purchase": q_error_users_no_purchase,
+        "props_extract": q_props_extract,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sev_cls = (
+        "CASE WHEN (event_id % 192) % 8 <= 2 THEN 'emergency' "
+        "WHEN (event_id % 192) % 8 = 3 THEN 'error' "
+        "WHEN (event_id % 192) % 8 <= 5 THEN 'warn' ELSE 'info' END"
+    )
+    return {
+        "rfc3164_parse": f"SELECT {_SQL_3164_FIELDS} FROM events",
+        "rfc3164_dlq": (
+            "SELECT event_id, CASE WHEN event_id % 250 > 191 "
+            "THEN 'invalid_prio' ELSE NULL END AS err_code FROM events"
+        ),
+        "rfc3164_year_inference": (
+            "SELECT event_id, CASE WHEN event_id % 2 = 0 THEN 2024 "
+            "ELSE 2025 END::BIGINT AS msg_year FROM events"
+        ),
+        "rfc5424_parse": (
+            "SELECT event_id, (event_id % 192)::BIGINT AS priority, "
+            "1::BIGINT AS proto_version, "
+            "'h' || (user_id % 50) AS host, 'app' || (event_id % 7) AS app, "
+            "(event_id % 1000)::VARCHAR AS procid, "
+            "'ID' || (event_id % 97) AS msgid, "
+            "'evt ' || event_type || ' #' || event_id AS message, "
+            "length('evt ' || event_type || ' #' || event_id)::BIGINT AS msg_length, "
+            "'2024-01-' || lpad((1 + event_id % 28)::VARCHAR, 2, '0') || ' ' "
+            "|| lpad((event_id % 14)::VARCHAR, 2, '0') || ':' "
+            "|| lpad(((event_id * 11) % 60)::VARCHAR, 2, '0') || ':' "
+            "|| lpad(((event_id * 29) % 60)::VARCHAR, 2, '0') AS msg_ts_str "
+            "FROM events"
+        ),
+        "rfc5424_sd_explode": (
+            "SELECT event_id, 'ev@1' AS sd_id, 'type' AS param_key, "
+            "event_type AS param_val FROM events "
+            "UNION ALL "
+            "SELECT event_id, 'ev@1' AS sd_id, 'k' AS param_key, "
+            "(event_id % 100)::VARCHAR AS param_val FROM events"
+        ),
+        "rfc5424_frame_validation": (
+            "SELECT event_id, CASE WHEN event_id % 7 = 0 "
+            "THEN 'premature_eof' ELSE NULL END AS err_code FROM events"
+        ),
+        "priority_names": (
+            "SELECT DISTINCT (event_id % 192)::BIGINT AS priority, "
+            "((event_id % 192) >> 3)::BIGINT AS facility, "
+            "((event_id % 192) & 7)::BIGINT AS severity, "
+            f"({FACILITY_LIST})[((event_id % 192) >> 3) + 1] AS facility_name, "
+            f"({SEVERITY_LIST})[((event_id % 192) & 7) + 1] AS severity_name "
+            "FROM events"
+        ),
+        "severity_class_counts": (
+            f"SELECT {sev_cls} AS severity_class, "
+            "(event_id % 16)::BIGINT AS bucket, "
+            "count(*)::BIGINT AS turn_count FROM events GROUP BY 1, 2"
+        ),
+        "hourly_sink_agg": (
+            f"SELECT {sev_cls} AS severity_class, "
+            "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+            "count(*)::BIGINT AS turn_count FROM events GROUP BY 1, 2"
+        ),
+        "enrich_broadcast": (
+            "WITH dim(event_type, sev_override, event_class) AS (VALUES "
+            "('error', 3, 'error'), ('view', 6, 'info'), ('click', 6, 'info'), "
+            "('signup', 5, 'warn'), ('purchase', 5, 'warn')) "
+            "SELECT d.event_class, count(*)::BIGINT AS n_events, "
+            "count(DISTINCT e.user_id)::BIGINT AS n_users "
+            "FROM events e LEFT JOIN dim d USING (event_type) "
+            "GROUP BY d.event_class"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) "
+            "AS sum_disc_price, "
+            "count(*)::BIGINT AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3_topk": (
+            "SELECT o_orderkey::BIGINT AS o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "tpch_q5ish": (
+            "SELECT r_name, n_name, count(*)::BIGINT AS n_items, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS latest_event, "
+            "event_type AS latest_type FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR "
+            "date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id::BIGINT AS user_id, sum(brk)::BIGINT AS n_sessions, "
+            "count(*)::BIGINT AS n_events FROM g GROUP BY user_id"
+        ),
+        "error_users_no_purchase": (
+            "SELECT user_id::BIGINT AS user_id FROM "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = 'error' "
+            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"
+        ),
+        "props_extract": (
+            "SELECT event_type, "
+            "SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT))::BIGINT AS k_sum, "
+            "count(*)::BIGINT AS n FROM events GROUP BY event_type"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_copies, "
+            "min(doc_id)::BIGINT AS canonical_doc FROM documents GROUP BY md5(text)"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "
+            "FROM documents"
+        ),
+        "token_stats": (
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens, "
+            "length(text)::BIGINT AS n_chars_measured, "
+            "(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT "
+            "AS n_vowels FROM documents"
+        ),
+        "ann_cosine_topk": (
+            "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
+            "neighbor_id::BIGINT AS neighbor_id, round(sim, 3) AS cosine_sim FROM ("
+            "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rn "
+            "FROM embeddings q, embeddings e "
+            "WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) WHERE rn <= 3"
+        ),
+    }

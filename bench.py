@@ -1,0 +1,178 @@
+"""Benchmark harness.
+
+Default mode: run the end-to-end transcript pipeline (parse → enrich →
+route → aggregate, the north-star metric) plus every registered entry
+query at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, and print ONE JSON line::
+
+    {"metric": "...", "value": <pipeline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "turns_per_sec": ...}
+
+``--scaling`` mode: run the identical pipeline job at two parallelism
+levels (local[N] and local[4N]) in fresh JVMs on the same input and
+report throughput at both plus scaling efficiency — the sandbox
+stand-in for the north rule's N → 4N executor criterion (SURVEY.md
+§4.3.4).  Results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/gps_bench")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _transcript_rows(sf: float) -> int:
+    return max(10_000, int(6_000_000 * sf))  # sf0.1 → 600k turns
+
+
+def ensure_transcripts(sf: float) -> str:
+    from go_parsesyslog_spark.sources.transcripts import write_transcripts_parquet
+
+    n = _transcript_rows(sf)
+    path = os.path.join(BENCH_TMP, f"transcripts_{n}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        write_transcripts_parquet(path, n, seed=42, chunk_rows=max(1, n // 8))
+        open(marker, "w").write(str(n))
+    return path
+
+
+def run_pipeline_bench(spark, sf: float) -> tuple[float, int]:
+    from go_parsesyslog_spark.plans.pipeline import run_pipeline
+
+    inp = ensure_transcripts(sf)
+    out = os.path.join(BENCH_TMP, f"out_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    summary = run_pipeline(spark, inp, out, n_units=4, n_buckets=32,
+                           resume=False)
+    dt = time.time() - t0
+    rows = summary["rows_valid"] + summary["rows_dlq"]
+    shutil.rmtree(out, ignore_errors=True)
+    return dt, rows
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    timings = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        # noop write materializes every column (count() would let
+        # Catalyst prune the parse work away)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    sf = _sf_from_dir(sf_dir)
+
+    from go_parsesyslog_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="gps_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    pipe_s, rows = run_pipeline_bench(spark, sf)
+    queries = run_queries(spark, sf_dir)
+    queries["pipeline_e2e"] = round(pipe_s, 3)
+
+    out = {
+        "metric": "parse_enrich_route_aggregate_pipeline_seconds",
+        "value": round(pipe_s, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "turns": rows,
+        "turns_per_sec": round(rows / pipe_s, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+def pipeline_only() -> None:
+    """Subprocess entry for --scaling: one pipeline run, JSON to stdout."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    sf = _sf_from_dir(sf_dir)
+    from go_parsesyslog_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="gps_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    pipe_s, rows = run_pipeline_bench(spark, sf)
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "seconds": round(pipe_s, 3),
+                      "turns": rows,
+                      "turns_per_sec": round(rows / pipe_s, 1)}))
+
+
+def scaling(n_small: int = 8) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    ensure_transcripts(sf)  # generate once, shared by both runs
+    results = []
+    for cpus in (n_small, n_small * 4):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(f"local[{cpus}]: {results[-1]}", file=sys.stderr)
+
+    small, big = results
+    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / 4
+    report = {
+        "sf": sf,
+        "n_cores_small": small["cpus"],
+        "n_cores_big": big["cpus"],
+        "turns": small["turns"],
+        "throughput_small_tps": small["turns_per_sec"],
+        "throughput_big_tps": big["turns_per_sec"],
+        "scaling_efficiency_n_to_4n": round(eff, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured pipeline throughput & scaling\n\n"
+            "End-to-end parse→enrich→route→aggregate over the seeded "
+            "synthetic transcript table (identical input both runs, fresh "
+            "JVM per parallelism level — the sandbox evidence for the "
+            "north rule's N→4N executor scaling criterion).\n\n"
+            "| metric | value |\n|---|---|\n"
+            + "".join(f"| {k} | {v} |\n" for k, v in report.items())
+        )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--pipeline-only" in sys.argv:
+        pipeline_only()
+    else:
+        main()

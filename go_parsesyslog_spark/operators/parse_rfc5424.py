@@ -168,11 +168,33 @@ def _parse_sd(t: str):
     return sds, len(sd) + 1, None  # +1 = the re-read terminating space
 
 
-def parse_rfc5424_batch(texts: pd.Series) -> pd.DataFrame:
+def parse_rfc5424_batch(texts: pd.Series, use_fast: bool = True) -> pd.DataFrame:
     """Parse one Arrow batch of octet-framed RFC5424 messages.
 
-    Output columns follow ``operators.schema.PARSED_STRUCT``.
+    Strictly-canonical ASCII frames take the RE2 fast path
+    (operators/fastpath); everything else goes through the exact staged
+    parser.  Identical results — pinned by tests/test_fastpath.py.
     """
+    s = texts.fillna("").astype(str).reset_index(drop=True)
+    if use_fast and len(s):
+        from go_parsesyslog_spark.operators.fastpath import fast_rfc5424
+
+        fast_df, slow = fast_rfc5424(s)
+        if fast_df is not None:
+            if not slow.any():
+                return fast_df.reset_index(drop=True)
+            slow_out = parse_rfc5424_exact(s[slow])
+            slow_out.index = np.where(slow)[0]
+            from go_parsesyslog_spark.operators.fastpath import (
+                combine_fast_slow,
+            )
+
+            return combine_fast_slow(fast_df, slow_out)
+    return parse_rfc5424_exact(s)
+
+
+def parse_rfc5424_exact(texts: pd.Series) -> pd.DataFrame:
+    """The exact staged vectorized parser (reference-quirk complete)."""
     s = texts.fillna("").astype(str).reset_index(drop=True)
     n = len(s)
     idx = s.index
@@ -287,27 +309,36 @@ def parse_rfc5424_batch(texts: pd.Series) -> pd.DataFrame:
     err[bad_start] = ERR_WRONG_SD_FORMAT  # must be NILVALUE or '[' (:192-194)
     alive = err.isna()
 
+    # per-row sections below accumulate into plain numpy object arrays —
+    # pandas .iloc setitem is ~80µs/call and dominates batch time otherwise
+    err_np = err.to_numpy(dtype=object, copy=True)
+    sd_np = np.full(n, None, dtype=object)
+    sdc_np = sd_consumed.to_numpy(copy=True)
+
     if is_brkt.any():
         rem_list = remainder.tolist()
         for i in np.where(is_brkt.to_numpy())[0]:
             sds, consumed, sd_err = _parse_sd(rem_list[i])
             if sd_err is not None:
-                err.iloc[i] = sd_err
+                err_np[i] = sd_err
             else:
-                structured_data.iloc[i] = sds
-                sd_consumed.iloc[i] = consumed
-        alive = err.isna()
+                sd_np[i] = sds
+                sdc_np[i] = consumed
+    err = pd.Series(err_np, index=idx, dtype=object)
+    structured_data = pd.Series(sd_np, index=idx, dtype=object)
+    sd_consumed = pd.Series(sdc_np, index=idx)
+    alive = err.isna()
 
     # ---- stages 7-8: BOM + framed body ------------------------------------
     # Byte accounting: r.len counts UTF-8 bytes consumed after the frame
     # prefix.  body starts sd_consumed chars into `remainder`.
-    body = pd.Series([""] * n, index=idx, dtype=object)
+    body_np = np.full(n, "", dtype=object)
     ok_rows = (alive & ~early_accept).to_numpy()
     if ok_rows.any():
         rem_list = remainder.tolist()
-        sdc = sd_consumed.to_numpy()
         for i in np.where(ok_rows)[0]:
-            body.iloc[i] = rem_list[i][sdc[i]:]
+            body_np[i] = rem_list[i][sdc_np[i]:]
+    body = pd.Series(body_np, index=idx, dtype=object)
 
     after_frame_bytes = pd.to_numeric(rest.str.encode("utf-8").str.len(), errors="coerce").fillna(0)
     body_bytes_len = pd.to_numeric(body.str.encode("utf-8").str.len(), errors="coerce").fillna(0)
@@ -325,19 +356,25 @@ def parse_rfc5424_batch(texts: pd.Series) -> pd.DataFrame:
     err[short] = ERR_PREMATURE_EOF  # io.ReadFull UnexpectedEOF (:96-99)
     alive = err.isna()
 
-    message = pd.Series([None] * n, index=idx, dtype=object)
-    msg_length = pd.Series([None] * n, index=idx, dtype=object)
+    message_np = np.full(n, None, dtype=object)
+    msglen_np = np.full(n, None, dtype=object)
     ea = (alive & early_accept).to_numpy()
-    message[pd.Series(ea, index=idx)] = ""
-    msg_length[pd.Series(ea, index=idx)] = 0
+    message_np[ea] = ""
+    msglen_np[ea] = 0
     full = (alive & ~early_accept).to_numpy()
     if full.any():
         body_list = body.tolist()
         md = md_len.fillna(0).astype(int).to_numpy()
+        bl = body_bytes_len.to_numpy()
         for i in np.where(full)[0]:
-            raw = body_list[i].encode("utf-8")[: md[i]]
-            message.iloc[i] = raw.decode("utf-8", errors="replace")
-            msg_length.iloc[i] = md[i]
+            if md[i] == bl[i]:  # frame exactly consumes the body (hot path)
+                message_np[i] = body_list[i]
+            else:
+                raw = body_list[i].encode("utf-8")[: md[i]]
+                message_np[i] = raw.decode("utf-8", errors="replace")
+            msglen_np[i] = md[i]
+    message = pd.Series(message_np, index=idx, dtype=object)
+    msg_length = pd.Series(msglen_np, index=idx, dtype=object)
 
     out = pd.DataFrame(
         {
@@ -350,9 +387,19 @@ def parse_rfc5424_batch(texts: pd.Series) -> pd.DataFrame:
             "app": app,
             "pid": pid,
             "msgid": msgid,
-            "structured_data": structured_data.where(err.isna(), None),
+            # mask err rows with numpy (Series.where(cond, None) can
+            # silently degrade an all-null object column to float NaN,
+            # which Arrow then rejects for the list type)
+            "structured_data": pd.Series(
+                np.where(err.isna().to_numpy(), sd_np, None),
+                index=idx, dtype=object,
+            ),
             "has_bom": has_bom.astype("boolean"),
-            "message": message.where(err.isna(), None),
+            "message": pd.Series(
+                np.where(err.isna().to_numpy(),
+                         message.to_numpy(dtype=object), None),
+                index=idx, dtype=object,
+            ),
             "msg_length": pd.to_numeric(msg_length).astype("Int32"),
             "err_code": err,
         }

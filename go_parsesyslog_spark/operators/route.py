@@ -30,12 +30,18 @@ def with_route_columns(
     n_buckets: int = 16,
     salt_buckets: int = 8,
     hot_threshold: int | None = None,
+    hot_source: DataFrame | None = None,
 ) -> DataFrame:
     """Add sink_id / conv_bucket / salt columns.
 
     ``hot_threshold``: row count per conv_id above which a conversation
     is salted.  None → auto: 4× the mean rows/conv (computed with one
     partial agg over the input).
+
+    ``hot_source``: DataFrame to compute the hot-conversation counts on.
+    Pass the RAW input here — hot detection only needs ``conv_id``, and
+    counting on the parsed stream would re-run the (expensive) parse UDF
+    once per downstream action instead of a cheap column-pruned scan.
     """
     out = df.withColumn(
         "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
@@ -47,7 +53,10 @@ def with_route_columns(
         ),
     )
 
-    conv_counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_rows"))
+    counts_src = hot_source if hot_source is not None else df
+    conv_counts = counts_src.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_rows")
+    )
     if hot_threshold is None:
         stats = conv_counts.agg(
             F.avg("_rows").alias("mean"), F.count(F.lit(1)).alias("n")

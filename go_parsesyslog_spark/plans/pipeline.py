@@ -78,6 +78,7 @@ def _process_unit(
         n_buckets=n_buckets,
         salt_buckets=salt_buckets,
         hot_threshold=hot_threshold,
+        hot_source=df,  # raw input: column-pruned conv_id scan, no parse
     )
     # dlq rows: sink_sev='dlq', sink_key=err_code; valid rows: class/bucket
     final = routed.withColumns(
@@ -90,8 +91,12 @@ def _process_unit(
             ).otherwise(F.col("conv_bucket").cast("string")),
         }
     )
-    # structured_data exploded views are derived downstream; keep the
-    # faithful nested column in the sink.
+    # Keep the raw wire text only for DLQ rows (replay/debug); nulling it
+    # for parsed rows halves the sink write volume — the parsed columns
+    # carry everything (per-turn text equality is on `message`).
+    final = final.withColumn(
+        "text", F.when(F.col("err_code").isNotNull(), F.col("text"))
+    )
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
         final.repartition(n_shuffle, "sink_sev", "sink_key", "salt")
