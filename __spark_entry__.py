@@ -495,6 +495,89 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_quality_features(spark, sf_dir):
+    """Text-quality features (integer counts — exact across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    stop_hits = F.size(
+        F.regexp_extract_all(t, F.lit(r"\b(the|a|and|of|to|is|in)\b"), F.lit(0))
+    )
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9_ ]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+        stop_hits.cast("long").alias("stop_hits"),
+        punct.cast("long").alias("punct_chars"),
+        digits.cast("long").alias("digit_chars"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-3-gram Jaccard for consecutive doc pairs (the
+    LSH verify stage, SQL-expressible shape)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    pairs = docs.select(F.col("doc_id").alias("doc_a")).withColumn(
+        "doc_b", F.col("doc_a") + 1
+    ).filter(F.col("doc_b") < 50)
+    from go_parsesyslog_spark.operators.dedup import ngram_jaccard
+
+    out = ngram_jaccard(pairs, docs, n=3)
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (rows-only check: marker-count n-gram
+    heuristic is not reasonably SQL-expressible)."""
+    from go_parsesyslog_spark.functions.textstats import with_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_language(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang_pred"
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (rows-only check)."""
+    from go_parsesyslog_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=64, bands=16).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """64-bit simhash per document (rows-only check; deterministic
+    FNV-1a basis)."""
+    from go_parsesyslog_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets
+    (rows-only check)."""
+    from go_parsesyslog_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.9)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct wire messages from sf0.001 events, run the
     full parse→enrich→aggregate DAG, return per-class hourly counts."""
@@ -539,6 +622,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "quality_features": q_quality_features,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "lang_id": q_lang_id,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -682,6 +771,28 @@ def oracle_sql() -> dict[str, str]:
             "length(text)::BIGINT AS n_chars_measured, "
             "(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT "
             "AS n_vowels FROM documents"
+        ),
+        "quality_features": (
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens, "
+            "len(regexp_extract_all(text, '\\b(the|a|and|of|to|is|in)\\b'))::BIGINT "
+            "AS stop_hits, "
+            "(length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ ]', '', 'g')))"
+            "::BIGINT AS punct_chars, "
+            "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+            "::BIGINT AS digit_chars "
+            "FROM documents"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH g AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, greatest(length(text) - 2, 1)), "
+            "i -> substring(text, i, 3))) AS grams "
+            "FROM documents WHERE doc_id < 50) "
+            "SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b, "
+            "round(len(list_intersect(a.grams, b.grams))::DOUBLE / "
+            "len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard "
+            "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
         ),
         "ann_cosine_topk": (
             "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "

@@ -14,9 +14,13 @@ from pyspark.sql import functions as F
 
 
 def sink_metrics(df: DataFrame, window: str = "1 hour") -> DataFrame:
-    """Windowed per-sink aggregate table."""
+    """Windowed per-sink aggregate table (includes the DLQ sinks when
+    present in the input)."""
     return (
-        df.groupBy("sink_id", "severity_class", F.window("ts", window).alias("w"))
+        df.groupBy(
+            "sink_id", "sink_sev", "sink_key", "severity_class",
+            F.window("ts", window).alias("w"),
+        )
         .agg(
             F.count(F.lit(1)).alias("turn_count"),
             F.approx_count_distinct("conv_id").alias("approx_convs"),
@@ -24,6 +28,8 @@ def sink_metrics(df: DataFrame, window: str = "1 hour") -> DataFrame:
         )
         .select(
             "sink_id",
+            "sink_sev",
+            "sink_key",
             "severity_class",
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

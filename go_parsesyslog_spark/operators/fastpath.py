@@ -153,7 +153,7 @@ def fast_rfc3164(s: pd.Series, ref_now: pd.Timestamp):
             "facility": pd.array(pri_fi >> 3, dtype="Int32"),
             "severity": pd.array(pri_fi & 7, dtype="Int32"),
             "proto_version": pd.array([None] * len(fi), dtype="Int32"),
-            "msg_ts": pd.Series(ts, index=fi).astype("datetime64[ns]"),
+            "msg_ts": pd.Series(ts, index=fi).astype("datetime64[us]"),
             "host": host,
             "app": app,
             "pid": pid,
@@ -214,7 +214,8 @@ def fast_rfc5424(s: pd.Series):
     ts_isdash = ts_ser == "-"
     msg_ts_all = pd.to_datetime(
         ts_ser.where(~ts_isdash), errors="coerce", utc=True, format="ISO8601"
-    ).dt.tz_convert(None)
+    ).dt.tz_convert(None).astype("datetime64[us]")
+    # ns-overflow years fall back to the exact engine (which recovers them)
     ts_bad = ok & ~ts_isdash.to_numpy() & msg_ts_all.isna().to_numpy()
 
     viol = (pri > 191) | ts_bad

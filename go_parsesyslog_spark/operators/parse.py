@@ -15,6 +15,8 @@ for every row.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -78,18 +80,110 @@ def make_parse_udf(fmt: str = AUTO, ref_now: pd.Timestamp | None = None):
     return F.pandas_udf(fn, PARSED_WITH_FORMAT)
 
 
-def parse_logs(
+def parse_logs_arrow(
     df: DataFrame,
     text_col: str = "text",
     fmt: str = AUTO,
     ref_now: pd.Timestamp | None = None,
 ) -> DataFrame:
-    """Attach the parsed LogMsg columns to ``df``.
-
-    Equivalent of ParseString/ParseReader over every row (rfc3164.go:65-104,
-    rfc5424.go:57-111), as a single narrow projection.
-    """
+    """The Arrow-batched Python engine over every row — exact reference
+    semantics for arbitrary input, one narrow projection."""
     udf = make_parse_udf(fmt, ref_now)
     parsed = df.withColumn("_parsed", udf(F.col(text_col)))
     keep = [c for c in df.columns]
     return parsed.select(*keep, "_parsed.format", *[f"_parsed.{c}" for c in PARSED_COLUMNS])
+
+
+def parse_logs(
+    df: DataFrame,
+    text_col: str = "text",
+    fmt: str = AUTO,
+    ref_now: pd.Timestamp | None = None,
+    engine: str = "native",
+) -> DataFrame:
+    """Attach the parsed LogMsg columns to ``df``.
+
+    Equivalent of ParseString/ParseReader over every row (rfc3164.go:65-104,
+    rfc5424.go:57-111).
+
+    ``engine="native"`` (default): strictly-canonical rows are parsed
+    entirely JVM-side (whole-stage codegen — see operators/native_fast
+    for why this matters at high core counts); everything else takes the
+    Arrow-batched exact Python parser.  ``engine="arrow"`` forces the
+    Python engine for all rows.
+    """
+    if engine != "native":
+        return parse_logs_arrow(df, text_col, fmt, ref_now)
+
+    from go_parsesyslog_spark.operators import native_fast as nf
+    from go_parsesyslog_spark.operators.parse_rfc3164 import DEFAULT_REF_NOW
+
+    ref = ref_now if ref_now is not None else DEFAULT_REF_NOW
+    t = F.col(text_col)
+    framed = F.coalesce(t.rlike(_FRAMED_RE), F.lit(False))
+
+    # per-branch: FILTER is one rlike (all bounds inside the pattern);
+    # the capture groups are materialized once in a dedicated Project
+    # (CollapseProject keeps expensive multi-referenced exprs intact),
+    # then every field is a cheap element_at over the split array.
+    branches = []  # (mask, groups_col_expr, tag, fields_fn)
+    # the cheap framing gate goes FIRST: codegen short-circuits && left
+    # to right, so the expensive format regex never runs on rows of the
+    # other format
+    if fmt in (AUTO, registry.RFC3164):
+        m3 = (~framed if fmt == AUTO else F.lit(True)) & nf.native_3164_mask(t)
+        branches.append(
+            (m3, nf.groups_3164(t), "RFC3164",
+             lambda gcol: nf.native_3164_fields(gcol, ref))
+        )
+    if fmt in (AUTO, registry.RFC5424):
+        m5 = (framed if fmt == AUTO else F.lit(True)) & nf.native_5424_mask(t)
+        branches.append(
+            (m5, nf.groups_5424(t), "RFC5424",
+             lambda gcol: nf.native_5424_fields(gcol))
+        )
+
+    fast_mask = F.lit(False)
+    parts = []
+    for mask, groups_expr, tag, fields_fn in branches:
+        fast = df.filter(mask).withColumn("_g", groups_expr)
+        parts.append(
+            nf.select_native(fast, tag, fields_fn(F.col("_g")), drop=["_g"])
+        )
+        fast_mask = fast_mask | mask
+    # The Arrow JVM↔Python path degrades sharply above ~16-20 concurrent
+    # worker streams (see native_fast module docstring), so the slow
+    # branch — a small minority of rows — is funneled into a bounded
+    # number of partitions: the filter scan stays fully parallel, only
+    # the Python stage is capped.  The shuffle moves slow rows only.
+    slow_rows = df.filter(~fast_mask)
+    cap = int(os.environ.get("SPARK_GRAFT_PY_PARALLELISM", "12"))
+    total = df.sparkSession.sparkContext.defaultParallelism
+    if total > cap:
+        slow_rows = slow_rows.repartition(cap)
+    slow = parse_logs_arrow(slow_rows, text_col, fmt, ref_now)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(slow)
+
+
+def sd_flat(sd_col: Column | str = "structured_data") -> Column:
+    """Lossy-but-convenient map view of the structured data: keys are
+    ``sd_id/param_key``; later duplicates win (the faithful nested
+    Array(Struct) column keeps order and repeated keys — SURVEY §1.1.3).
+    Pure Catalyst: flatten + transform + map_from_entries."""
+    c = F.col(sd_col) if isinstance(sd_col, str) else sd_col
+    entries = F.flatten(
+        F.transform(
+            c,
+            lambda el: F.transform(
+                el["params"],
+                lambda p: F.struct(
+                    F.concat_ws("/", el["sd_id"], p["key"]).alias("key"),
+                    p["val"].alias("value"),
+                ),
+            ),
+        )
+    )
+    return F.map_from_entries(entries)

@@ -206,7 +206,9 @@ def parse_rfc3164_exact(
     cand = _build_ts(pd.Series(ref_now.year, index=idx), mon_f, day_f, hh_f, mm_f, ss_f)
     rollback = cand > (ref_now + pd.Timedelta(days=31))  # date.go:81-84
     prev = _build_ts(pd.Series(ref_now.year - 1, index=idx), mon_f, day_f, hh_f, mm_f, ss_f)
-    msg_ts = cand.where(~rollback, prev).where(alive & ts_ok)
+    msg_ts = cand.where(~rollback, prev).where(alive & ts_ok).astype(
+        "datetime64[us]"
+    )
 
     # ---- stage 3: HOSTNAME (ReadSlice(' '), rfc3164.go:167-177) --------
     after_ts = rest.str.slice(TIMESTAMP_LENGTH + 1)

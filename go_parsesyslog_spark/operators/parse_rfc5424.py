@@ -265,7 +265,25 @@ def parse_rfc5424_exact(texts: pd.Series) -> pd.DataFrame:
     ts_shape = ts_tok.str.fullmatch(_RFC3339_RE, na=False)
     msg_ts = pd.to_datetime(
         ts_tok.where(alive & ts_shape), errors="coerce", utc=True, format="ISO8601"
-    ).dt.tz_convert(None)
+    ).dt.tz_convert(None).astype("datetime64[us]")
+    # pandas ns-range overflow (years > 2262): Go time.Parse accepts
+    # these — recover the rare shape-valid-but-NaT stamps per row at
+    # Spark's native µs precision
+    oob = (alive & ts_shape & ~ts_nil & msg_ts.isna()).to_numpy()
+    if oob.any():
+        import datetime as _dt
+
+        vals = msg_ts.to_numpy().copy()
+        toks = ts_tok.to_numpy(dtype=object)
+        for i in np.where(oob)[0]:
+            try:
+                d = _dt.datetime.fromisoformat(str(toks[i]).replace("Z", "+00:00"))
+                vals[i] = np.datetime64(
+                    d.astimezone(_dt.timezone.utc).replace(tzinfo=None), "us"
+                )
+            except (ValueError, OverflowError, OSError):
+                pass
+        msg_ts = pd.Series(vals, index=idx)
     bad_ts = alive & ~ts_nil & (~ts_shape | msg_ts.isna())
     err[bad_ts] = ERR_INVALID_TIMESTAMP
     alive = err.isna()

@@ -31,6 +31,7 @@ def with_route_columns(
     salt_buckets: int = 8,
     hot_threshold: int | None = None,
     hot_source: DataFrame | None = None,
+    hot_ids: list | None = None,
 ) -> DataFrame:
     """Add sink_id / conv_bucket / salt columns.
 
@@ -53,29 +54,53 @@ def with_route_columns(
         ),
     )
 
-    counts_src = hot_source if hot_source is not None else df
-    conv_counts = counts_src.groupBy("conv_id").agg(
-        F.count(F.lit(1)).alias("_rows")
-    )
-    if hot_threshold is None:
-        stats = conv_counts.agg(
-            F.avg("_rows").alias("mean"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
-        hot_threshold = max(64, int(4 * (stats["mean"] or 1)))
-    hot = conv_counts.filter(F.col("_rows") > hot_threshold).select(
-        "conv_id", F.lit(True).alias("_hot")
-    )
-    out = out.join(F.broadcast(hot), "conv_id", "left")
+    if hot_ids is not None:
+        if len(hot_ids) == 0:
+            return out.withColumn("salt", F.lit(0).cast("int"))
+        is_hot = F.col("conv_id").isin(list(hot_ids))
+    else:
+        counts_src = hot_source if hot_source is not None else df
+        conv_counts = counts_src.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("_rows")
+        )
+        if hot_threshold is None:
+            stats = conv_counts.agg(
+                F.avg("_rows").alias("mean"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+            hot_threshold = max(64, int(4 * (stats["mean"] or 1)))
+        hot = conv_counts.filter(F.col("_rows") > hot_threshold).select(
+            "conv_id", F.lit(True).alias("_hot")
+        )
+        out = out.join(F.broadcast(hot), "conv_id", "left")
+        is_hot = F.col("_hot").isNotNull()
     out = out.withColumn(
         "salt",
         F.when(
-            F.col("_hot").isNotNull(),
+            is_hot,
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)),
         )
         .otherwise(F.lit(0))
         .cast("int"),
-    ).drop("_hot")
+    )
+    if "_hot" in out.columns:
+        out = out.drop("_hot")
     return out
+
+
+def hot_conv_ids(
+    df: DataFrame, hot_threshold: int | None = None, cap: int = 100_000
+) -> tuple[list, int]:
+    """ONE column-pruned pre-aggregation over the raw input returning the
+    hot conversation ids (rows > threshold) as a plain list — folded into
+    the route expression as a literal isin, which is cheaper than any
+    join.  ``cap`` bounds driver memory; beyond it the caller should use
+    the broadcast-join path instead."""
+    conv_counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_rows"))
+    if hot_threshold is None:
+        mean = conv_counts.agg(F.avg("_rows")).collect()[0][0]
+        hot_threshold = max(64, int(4 * (mean or 1)))
+    hot = conv_counts.filter(F.col("_rows") > hot_threshold)
+    return [r["conv_id"] for r in hot.limit(cap).collect()], hot_threshold
 
 
 def write_routed(

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two strategies:
+
+* **brute-force cosine top-k** — correct baseline.  The query side is
+  broadcast; dot products run JVM-side (zip_with/aggregate → whole-stage
+  codegen), so the cross join is a single narrow pass over the corpus:
+  cost O(N·Q·d) flops with zero Python.
+* **LSH-bucketed ANN (random hyperplanes)** — the scale path: each
+  vector is signed against ``n_planes`` fixed random hyperplanes →
+  ``n_tables`` bucket keys; neighbors are only scored within shared
+  buckets.  At 100 TB this turns the O(N·Q) cross join into a bucket
+  co-partitioned join whose cost follows the bucket occupancy.
+
+The embedding → numpy path for the hyperplane signatures is a
+vectorized pandas UDF (one matmul per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query side broadcast)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    sim = _dot(F.col(vec_col), F.col("_qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), id_col)
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"), "sim")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach ``lsh_keys: array<bigint>`` — one bucket key per table,
+    derived from the sign pattern of the vector against fixed random
+    hyperplanes.  One matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim)).astype(np.float32)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ planes.T) > 0  # (batch, n_tables*n_planes)
+        signs = signs.reshape(len(mat), n_tables, n_planes)
+        keys = (signs * weights).sum(axis=2)  # (batch, n_tables)
+        # offset each table so keys never collide across tables
+        keys = keys + (np.arange(n_tables, dtype=np.int64) << np.int64(32))
+        return pd.Series(list(keys))
+
+    return df.withColumn("lsh_keys", keys_udf(F.col(vec_col)))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket
+    with the query in at least one table."""
+    c = hyperplane_signatures(corpus, dim, vec_col, n_tables, n_planes, seed)
+    q = hyperplane_signatures(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")),
+        dim, "_qv", n_tables, n_planes, seed,
+    )
+    c_k = c.select(id_col, vec_col, F.explode("lsh_keys").alias("bkey"))
+    q_k = q.select(query_id_col, "_qv", F.explode("lsh_keys").alias("bkey"))
+    cand = (
+        c_k.join(q_k, "bkey")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(id_col, vec_col, query_id_col, "_qv")
+        .distinct()
+    )
+    sim = _dot(F.col(vec_col), F.col("_qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), id_col)
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"), "sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold), LSH-
+    bucketed so only same-bucket pairs are scored."""
+    sigs = hyperplane_signatures(df, dim, vec_col, n_tables, n_planes, seed)
+    keyed = sigs.select(id_col, vec_col, F.explode("lsh_keys").alias("bkey"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .distinct()
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )

@@ -6,40 +6,43 @@ Table B): one declarative DAG per work unit —
     scan(unit files)                       # columnar, pruned
       → parse_logs        (narrow, Arrow-batched, shuffle-free)
       → enrich            (broadcast joins only — no exchange)
-      → with_route_columns(salted bucket assignment)
+      → with_route_columns(salted bucket assignment, literal hot set)
       → ONE fan-out partitioned write      (the only full shuffle)
-      → partial metrics from the written unit (column-pruned readback)
+      → windowed metrics from the written unit (column-pruned readback)
 
 Work units are groups of input files: the unit is the resume/commit
-granule (plans/lineage.py).  Per unit the input is scanned exactly
-once; valid rows and dead-letter rows land in the same partitioned
-write under ``sink_sev=…/sink_key=…`` (dlq rows use
-``sink_sev=dlq, sink_key=<err_code>``), so no second pass and no
-second shuffle.
+granule (plans/lineage.py).  Per unit the input is scanned exactly once
+and only TWO Spark jobs run — the fan-out write and the metrics
+aggregation over the freshly written (column-pruned) unit.  Units run
+concurrently on the scheduler (independent jobs), so per-job fixed
+latency overlaps instead of accumulating.
 
 Scale design notes (100 TB / 1000 executors):
+* hot-conversation detection is ONE column-pruned pre-aggregation over
+  the raw input; the hot set folds into the route expression as a
+  literal (no join);
 * unit size bounds the blast radius of a failure — a killed run loses
-  at most one uncommitted unit, and the marker rename is atomic;
+  at most the in-flight units; the marker rename is atomic;
 * the fan-out shuffle is keyed (severity_class, conv_bucket, salt) —
-  hot conversations are split across ``salt_buckets`` writer tasks;
-* metrics are partial-per-unit then merged (no full re-scan at the end);
-* everything before the write is narrow, so AQE only has to size the
-  single exchange.
+  hot conversations split across ``salt_buckets`` writer tasks;
+* metrics are partial-per-unit, merged driver-side (metric rows are
+  O(sinks × windows), thousands of times smaller than the data).
 """
 
 from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_parsesyslog_spark.operators.aggregate import merge_sink_metrics, sink_metrics
+from go_parsesyslog_spark.operators.aggregate import sink_metrics
 from go_parsesyslog_spark.operators.enrich import enrich
 from go_parsesyslog_spark.operators.parse import parse_logs
-from go_parsesyslog_spark.operators.route import with_route_columns
+from go_parsesyslog_spark.operators.route import hot_conv_ids, with_route_columns
 from go_parsesyslog_spark.plans import lineage
 from go_parsesyslog_spark.sources.transcripts import REF_NOW
 
@@ -60,16 +63,32 @@ def plan_units(input_path: str, n_units: int) -> list[tuple[str, list[str]]]:
     return units
 
 
+def _write_pandas_parquet(pdf: pd.DataFrame, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64[ns"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(out_dir, "part-00000.parquet"),
+    )
+
+
 def _process_unit(
     spark: SparkSession,
     files: list[str],
     unit_out: str,
+    metrics_out: str,
     fmt: str,
     ref_now,
     n_buckets: int,
     salt_buckets: int,
-    hot_threshold: int | None,
-) -> None:
+    hot_ids: list,
+    n_shuffle: int,
+) -> tuple[int, int]:
     df = spark.read.parquet(*files)
     parsed = parse_logs(df, text_col="text", fmt=fmt, ref_now=ref_now)
     enriched = enrich(parsed, spark)
@@ -77,8 +96,7 @@ def _process_unit(
         enriched,
         n_buckets=n_buckets,
         salt_buckets=salt_buckets,
-        hot_threshold=hot_threshold,
-        hot_source=df,  # raw input: column-pruned conv_id scan, no parse
+        hot_ids=hot_ids,
     )
     # dlq rows: sink_sev='dlq', sink_key=err_code; valid rows: class/bucket
     final = routed.withColumns(
@@ -97,32 +115,21 @@ def _process_unit(
     final = final.withColumn(
         "text", F.when(F.col("err_code").isNotNull(), F.col("text"))
     )
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
         final.repartition(n_shuffle, "sink_sev", "sink_key", "salt")
         .write.mode("overwrite")
         .partitionBy("sink_sev", "sink_key")
-        .parquet(os.path.join(unit_out))
-    )
+        .parquet(unit_out)
+    )  # Spark job 1: the only pass over the input
 
-
-def _unit_metrics(
-    spark: SparkSession, unit_out: str, metrics_out: str
-) -> tuple[int, int]:
-    """Compute partial metrics from the unit's written data (column-
-    pruned scan of the fresh parquet).  Returns (valid_rows, dlq_rows)."""
+    # Spark job 2: windowed metrics over the freshly written unit
+    # (column-pruned parquet scan); the small result merges driver-side.
     written = spark.read.parquet(unit_out)
-    valid = written.filter(F.col("sink_sev") != "dlq")
-    metrics = sink_metrics(valid)
-    metrics.write.mode("overwrite").parquet(metrics_out)
-    counts = (
-        written.groupBy((F.col("sink_sev") == "dlq").alias("is_dlq"))
-        .count()
-        .collect()
-    )
-    valid_rows = sum(r["count"] for r in counts if not r["is_dlq"])
-    dlq_rows = sum(r["count"] for r in counts if r["is_dlq"])
-    return valid_rows, dlq_rows
+    mpdf = sink_metrics(written).toPandas()
+    _write_pandas_parquet(mpdf, metrics_out)
+    valid = int(mpdf.loc[mpdf.sink_sev != "dlq", "turn_count"].sum())
+    dlq = int(mpdf.loc[mpdf.sink_sev == "dlq", "turn_count"].sum())
+    return valid, dlq
 
 
 def run_pipeline(
@@ -137,6 +144,7 @@ def run_pipeline(
     n_units: int = 4,
     resume: bool = True,
     max_units: int | None = None,
+    unit_parallelism: int = 2,
 ) -> dict:
     """Run (or resume) the full pipeline.  Returns a summary dict.
 
@@ -153,46 +161,90 @@ def run_pipeline(
         if os.path.isdir(out_root):
             shutil.rmtree(out_root)
 
-    ran, skipped = [], []
-    for unit_id, files in units:
-        if unit_id in done:
-            skipped.append(unit_id)
-            continue
-        if max_units is not None and len(ran) >= max_units:
-            break
+    pending = [(uid, files) for uid, files in units if uid not in done]
+    skipped = [uid for uid, _ in units if uid in done]
+    if max_units is not None:
+        pending = pending[:max_units]
+
+    hot_ids: list = []
+    if pending:
+        all_files = [f for _, fs in pending for f in fs]
+        hot_ids, hot_threshold = hot_conv_ids(
+            spark.read.parquet(*all_files).select("conv_id"), hot_threshold
+        )
+
+    # Concurrent units share the cores: size each unit's fan-out shuffle
+    # to its share so concurrent write stages don't oversubscribe (128
+    # in-flight tasks on 32 cores thrash python workers and the
+    # partitioned-write committer).
+    total_cores = spark.sparkContext.defaultParallelism
+    n_shuffle = max(8, total_cores // max(1, unit_parallelism))
+
+    def run_one(unit):
+        unit_id, files = unit
         lineage.clean_partial_unit(out_root, unit_id)
         unit_out = os.path.join(out_root, "sinks", f"unit={unit_id}")
-        metrics_out = os.path.join(out_root, "metrics_partial", f"unit={unit_id}")
-        tu = time.time()
-        _process_unit(
-            spark, files, unit_out, fmt, ref_now,
-            n_buckets, salt_buckets, hot_threshold,
+        metrics_out = os.path.join(
+            out_root, "metrics_partial", f"unit={unit_id}"
         )
-        valid_rows, dlq_rows = _unit_metrics(spark, unit_out, metrics_out)
+        tu = time.time()
+        valid, dlq = _process_unit(
+            spark, files, unit_out, metrics_out, fmt, ref_now,
+            n_buckets, salt_buckets, hot_ids, n_shuffle,
+        )
         lineage.record_unit(
             out_root,
             {
                 "unit_id": unit_id,
                 "files": files,
-                "rows_valid": valid_rows,
-                "rows_dlq": dlq_rows,
+                "rows_valid": valid,
+                "rows_dlq": dlq,
+                "hot_convs": len(hot_ids),
                 "wall_s": round(time.time() - tu, 3),
             },
         )
-        ran.append(unit_id)
+        return unit_id
 
-    # merge partial metrics → final metrics table (only over committed units)
+    ran: list[str] = []
+    if pending:
+        with ThreadPoolExecutor(max_workers=max(1, unit_parallelism)) as ex:
+            ran = list(ex.map(run_one, pending))
+
+    # merge partial metrics → final metrics table (driver-side: partials
+    # are O(sinks × windows), tiny relative to the data)
     all_done = lineage.completed_units(out_root)
     if len(all_done) == len(units) and units:
-        partials = spark.read.parquet(os.path.join(out_root, "metrics_partial"))
-        merged = merge_sink_metrics(partials.drop("unit"))
-        merged.write.mode("overwrite").parquet(os.path.join(out_root, "metrics"))
+        import glob
+
+        import pyarrow.parquet as pq
+
+        parts = [
+            pq.read_table(p).to_pandas()
+            for p in glob.glob(
+                os.path.join(out_root, "metrics_partial", "*", "*.parquet")
+            )
+        ]
+        merged = (
+            pd.concat(parts)
+            .groupby(
+                ["sink_id", "sink_sev", "sink_key", "severity_class",
+                 "window_start", "window_end"],
+                dropna=False,
+                as_index=False,
+            )
+            .agg(
+                turn_count=("turn_count", "sum"),
+                approx_convs=("approx_convs", "max"),
+                total_msg_bytes=("total_msg_bytes", "sum"),
+            )
+        )
+        _write_pandas_parquet(merged, os.path.join(out_root, "metrics"))
 
     recs = lineage.completed_units(out_root)
     return {
         "units_total": len(units),
-        "units_run": ran,
-        "units_skipped": skipped,
+        "units_run": sorted(ran),
+        "units_skipped": sorted(skipped),
         "complete": len(recs) == len(units),
         "rows_valid": sum(r["rows_valid"] for r in recs.values()),
         "rows_dlq": sum(r["rows_dlq"] for r in recs.values()),

@@ -74,7 +74,9 @@ def generate_transcripts(
 
     role = pd.Series(ROLES[rng.integers(0, len(ROLES), n_rows)])
     tool = pd.Series(TOOLS[rng.integers(0, len(TOOLS), n_rows)])
-    ts = BASE_TS - pd.to_timedelta((n_rows - i) * 3, unit="s")
+    # event times bounded to a 2-week window so windowed-aggregate
+    # cardinality stays O(windows × sinks) at any row count
+    ts = BASE_TS - pd.to_timedelta((n_rows - i) * 3 % 1_209_600, unit="s")
 
     # --- wire-format text -------------------------------------------------
     pri = (i * 37) % 192

@@ -1,0 +1,179 @@
+"""Structured Streaming variant of parse → enrich → route → aggregate.
+
+The reference's ``ParseReader`` is an incremental pull parser — the
+streaming-shaped API (SURVEY.md §2 Table B).  Here the same parse
+projection (identical code path: the Arrow-batched UDF) runs over
+``readStream``; exactly-once delivery and resume come from Spark
+checkpointing instead of our batch lineage markers.
+
+Pieces:
+* ``stream_routed_sink`` — continuous fan-out partitioned parquet sink
+  (append mode; file-sink commit log gives exactly-once).
+* ``stream_windowed_metrics`` — per-sink tumbling-window counts with a
+  watermark for late data (append mode emits each window once final).
+* ``stream_conv_state`` — custom stateful operator via
+  ``applyInPandasWithState``: running per-conversation turn/error
+  counters, the streaming analog of the reference's per-reader parser
+  state (rfc3164.go:21-26) lifted to keyed state.
+
+All are testable deterministically with ``trigger(availableNow=True)``
+over a static directory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from go_parsesyslog_spark.operators.enrich import enrich
+from go_parsesyslog_spark.operators.parse import parse_logs
+from go_parsesyslog_spark.operators.route import with_route_columns
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def parsed_stream(
+    stream: DataFrame, spark: SparkSession, fmt: str = "auto",
+    ref_now=None, n_buckets: int = 16,
+) -> DataFrame:
+    parsed = parse_logs(stream, fmt=fmt, ref_now=ref_now)
+    e = enrich(parsed, spark)
+    routed = with_route_columns(e, n_buckets=n_buckets, hot_ids=[])
+    return routed.withColumns(
+        {
+            "sink_sev": F.when(
+                F.col("err_code").isNotNull(), F.lit("dlq")
+            ).otherwise(F.col("severity_class")),
+            "sink_key": F.when(
+                F.col("err_code").isNotNull(), F.col("err_code")
+            ).otherwise(F.col("conv_bucket").cast("string")),
+        }
+    )
+
+
+def stream_routed_sink(
+    routed: DataFrame, out_path: str, checkpoint: str,
+    available_now: bool = False,
+):
+    """Continuous fan-out write, partitioned by sink."""
+    w = (
+        routed.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("sink_sev", "sink_key")
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def stream_windowed_metrics(
+    routed: DataFrame, out_path: str, checkpoint: str,
+    window: str = "1 hour", watermark: str = "2 hours",
+    available_now: bool = False,
+):
+    """Tumbling-window per-sink counts; the watermark bounds state and
+    handles late rows (append mode emits a window once it is final)."""
+    counts = (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "sink_sev", "sink_key")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum("msg_length").alias("total_msg_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sink_sev", "sink_key", "turn_count", "total_msg_bytes",
+        )
+    )
+    w = (
+        counts.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+_CONV_STATE_SCHEMA = "turns long, errors long, last_turn_idx long"
+_CONV_OUT_SCHEMA = (
+    "conv_id string, turns long, errors long, last_turn_idx long"
+)
+
+
+def _conv_state_fn(key, pdfs, state: GroupState):
+    (conv_id,) = key
+    turns, errors, last_idx = (
+        state.get if state.exists else (0, 0, -1)
+    )
+    for pdf in pdfs:
+        turns += len(pdf)
+        errors += int(pdf["err_code"].notna().sum())
+        if len(pdf):
+            last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+    state.update((turns, errors, last_idx))
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "turns": [turns],
+            "errors": [errors],
+            "last_turn_idx": [last_idx],
+        }
+    )
+
+
+def stream_conv_state(
+    routed: DataFrame, out_path: str, checkpoint: str,
+    available_now: bool = False,
+):
+    """Custom stateful streaming operator: running per-conversation
+    counters via applyInPandasWithState (keyed state, update mode)."""
+    updates = (
+        routed.select("conv_id", "turn_idx", "err_code")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _conv_state_fn,
+            outputStructType=_CONV_OUT_SCHEMA,
+            stateStructType=_CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    w = (
+        updates.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

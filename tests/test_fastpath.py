@@ -114,3 +114,22 @@ def test_fast_path_actually_used():
     m5 = pc.extract_regex(pa.Array.from_pandas(df.text[is5424]), FAST_5424_RE)
     assert pc.is_valid(m3).to_pandas().mean() > 0.80
     assert pc.is_valid(m5).to_pandas().mean() > 0.80
+
+
+def test_cli_demo(capsys=None):
+    """A20 parity: the stdin demo parses and pretty-prints (cmd/
+    stdin-parser/main.go:19-65)."""
+    import io
+    import sys as _sys
+
+    from go_parsesyslog_spark import cli
+
+    old = _sys.stdin
+    _sys.stdin = io.StringIO(
+        "<34>Oct 11 22:14:15 mymachine su: hi\n"
+    )
+    try:
+        rc = cli.main([])
+    finally:
+        _sys.stdin = old
+    assert rc == 0

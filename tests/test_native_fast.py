@@ -1,0 +1,95 @@
+"""Differential tests: the JVM-native fast path (+ Python fallback)
+must produce identical results to the all-Python exact engine on corpus
+lines, generated traffic, and mutations."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_parsesyslog_spark.corpus import (
+    RFC3164_CASES,
+    RFC5424_INVALID,
+    RFC5424_VALID,
+)
+from go_parsesyslog_spark.operators.parse import parse_logs, parse_logs_arrow
+from go_parsesyslog_spark.operators.parse_rfc3164 import DEFAULT_REF_NOW
+from go_parsesyslog_spark.sources.transcripts import generate_transcripts
+
+CMP_COLS = [
+    "i", "format", "priority", "facility", "severity", "proto_version",
+    "msg_ts", "host", "app", "pid", "msgid", "has_bom", "message",
+    "msg_length", "err_code", "sd_json",
+]
+
+
+def _both(spark, lines, fmt):
+    df = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(lines)], "i int, text string"
+    )
+    out = {}
+    for engine in ("native", "arrow"):
+        r = parse_logs(df, fmt=fmt, ref_now=DEFAULT_REF_NOW, engine=engine)
+        r = r.withColumn("sd_json", F.to_json("structured_data"))
+        out[engine] = {
+            row["i"]: row for row in r.select(*CMP_COLS).collect()
+        }
+    return out
+
+
+def _assert_equal(spark, lines, fmt):
+    res = _both(spark, lines, fmt)
+    assert len(res["native"]) == len(lines)
+    for i in range(len(lines)):
+        n, a = res["native"][i], res["arrow"][i]
+        for c in CMP_COLS:
+            assert n[c] == a[c], (
+                f"row {i} col {c}: native={n[c]!r} arrow={a[c]!r} "
+                f"line={lines[i]!r}"
+            )
+
+
+def test_corpus_3164_native(spark):
+    _assert_equal(spark, [c[1] for c in RFC3164_CASES], "rfc3164")
+
+
+def test_corpus_5424_native(spark):
+    _assert_equal(spark, RFC5424_VALID + RFC5424_INVALID, "rfc5424")
+
+
+def test_generated_auto_native(spark):
+    df = generate_transcripts(8000, seed=77)
+    _assert_equal(spark, df.text.tolist(), "auto")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mutations_native(spark, seed):
+    rng = random.Random(seed)
+    base = [c[1] for c in RFC3164_CASES if c[2]] + RFC5424_VALID
+    charset = "<>[]:\"\\ -.0123456789aZ\né"
+    muts = []
+    for _ in range(300):
+        line = rng.choice(base)
+        i = rng.randrange(len(line))
+        muts.append(line[:i] + rng.choice(charset) + line[i + 1:])
+    _assert_equal(spark, muts, "auto")
+
+
+def test_native_covers_most_canonical_traffic(spark):
+    """The point of the native path: canonical rows must NOT fall through
+    to Python."""
+    from go_parsesyslog_spark.operators.native_fast import (
+        native_3164_mask,
+        native_5424_mask,
+    )
+
+    df = generate_transcripts(5000, seed=5, corpus_frac=0.0)
+    sdf = spark.createDataFrame(df[["text"]], "text string")
+    framed = F.col("text").rlike(r"^[0-9]+ ")
+    covered = sdf.select(
+        F.when(framed, native_5424_mask(F.col("text")))
+        .otherwise(native_3164_mask(F.col("text")))
+        .alias("ok")
+    )
+    frac = covered.filter("ok").count() / 5000
+    assert frac > 0.95, frac

