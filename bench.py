@@ -42,14 +42,26 @@ def _transcript_rows(sf: float) -> int:
 
 
 def _warmup(spark) -> None:
-    """Spawn/warm the Python UDF workers before timing: a steady-state
-    cluster does not pay worker cold-start per job, and including it
+    """Spawn/warm the Python UDF workers and the JVM codegen/JIT for both
+    parse engines before timing: a steady-state cluster does not pay
+    worker cold-start or Janino/C2 compilation per job, and including it
     would make the scaling measurement a measure of process spawning."""
     from go_parsesyslog_spark.operators.parse import parse_logs
 
-    df = spark.range(0, 20_000, 1, spark.sparkContext.defaultParallelism)
-    df = df.selectExpr("concat('<34>Oct 11 22:14:15 h app[1]: x ', id) AS text")
-    parse_logs(df, fmt="rfc3164").write.format("noop").mode("overwrite").save()
+    par = spark.sparkContext.defaultParallelism
+    w3 = spark.range(0, 20_000, 1, par).selectExpr(
+        "concat('<34>Oct 11 22:14:15 h app[1]: x ', id) AS text"
+    )
+    w5 = spark.range(0, 20_000, 1, par).selectExpr(
+        "concat(cast(47 + length(cast(id as string)) as string),"
+        " ' <34>1 2024-01-02T03:04:05Z h a p m [x@1 k=\"v\"] body ', id)"
+        " AS text"
+    )
+    for wdf in (w3, w5):
+        for eng in ("arrow", "native"):
+            parse_logs(wdf, fmt="auto", engine=eng).write.format(
+                "noop"
+            ).mode("overwrite").save()
 
 
 def ensure_transcripts(sf: float, n_files: int = 64) -> str:
@@ -90,12 +102,43 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timings = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
+        # one untimed warm run first (codegen compile + JIT), then the
+        # timed steady-state run — the number a long-lived cluster sees.
         # noop write materializes every column (count() would let
         # Catalyst prune the parse work away)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     return timings
+
+
+def native_coverage(spark, input_path: str) -> dict:
+    """Bench hygiene: what fraction of the pipeline's transcript input
+    the JVM-native fast path handles (rows NOT taking the Arrow/Python
+    slow branch) — makes an engine regression visible in BENCH_r*.json
+    instead of silently shifting work to Python."""
+    from pyspark.sql import functions as F
+
+    from go_parsesyslog_spark.operators import native_fast as nf
+
+    df = spark.read.parquet(input_path).select("text")
+    framed = F.col("text").rlike(r"^[0-9]+ ")
+    fast = F.coalesce(
+        F.when(framed, nf.native_5424_mask(F.col("text"))).otherwise(
+            nf.native_3164_mask(F.col("text"))
+        ),
+        F.lit(False),
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fast.cast("int")).alias("fast"),
+    ).collect()[0]
+    return {
+        "rows": int(agg["n"]),
+        "native_fast_rows": int(agg["fast"]),
+        "native_fast_frac": round(agg["fast"] / max(1, agg["n"]), 4),
+    }
 
 
 def main() -> None:
@@ -109,6 +152,7 @@ def main() -> None:
         app_name="gps_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
 
+    _warmup(spark)
     pipe_s, rows = run_pipeline_bench(spark, sf)
     queries = run_queries(spark, sf_dir)
     queries["pipeline_e2e"] = round(pipe_s, 3)
@@ -122,6 +166,9 @@ def main() -> None:
         "turns": rows,
         "turns_per_sec": round(rows / pipe_s, 1),
         "cpus": cpus,
+        "parse_engine": os.environ.get("SPARK_GRAFT_PARSE_ENGINE", "native"),
+        "query_timing": "second run (steady state; run 1 warms codegen)",
+        "native_coverage": native_coverage(spark, ensure_transcripts(sf)),
     }
     spark.stop()
     print(json.dumps(out))

@@ -16,12 +16,19 @@ the pattern once per extracted field):
 * the branch FILTER is ONE ``rlike`` — every bound that would need
   arithmetic is baked into the pattern itself (PRI range as an
   alternation, the 32-byte tag window as a Java lookahead, "content
-  glued to SD without a space" excluded by an optional-tail group);
-* the groups are materialized ONCE per row: an anchored
+  glued to SD without a space" excluded by an optional-tail group) —
+  and the framing gate (``^\\d+ `` vs not) runs first, so each row
+  evaluates at most ONE format's pattern;
+* the groups are materialized ONCE per matching row: an anchored
   ``regexp_replace`` rewrites the line into its capture groups joined
-  by \\x01, in a dedicated Project (CollapseProject keeps expensive
-  multi-referenced expressions materialized), and all fields are cheap
-  ``element_at``/``length`` ops over the split array;
+  by \\x01, in a dedicated Project *above* the mask filter
+  (CollapseProject keeps expensive multi-referenced expressions
+  materialized), and all fields are cheap ``try_element_at``/``length``
+  ops over the split array;
+* every field expression is TOTAL (``try_element_at`` / ``try_cast`` /
+  ``try_to_timestamp``): Catalyst is free to push user predicates over
+  parsed columns below our projections and evaluate them on any row —
+  off-domain rows yield NULL, never an ANSI crash;
 * RFC5424 framing arithmetic (frame-length reconciliation, early
   accept, truncation, premature EOF, invalid length) is evaluated
   natively, so every strictly-shaped ASCII frame — valid or not — stays
@@ -34,10 +41,8 @@ generated traffic and random mutations.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
-
-from go_parsesyslog_spark.operators.schema import PARSED_COLUMNS
 
 SEP = "\x01"
 
@@ -57,7 +62,10 @@ NATIVE_3164_RE = (
     r" ([01]\d|2[0-3]):([0-5]\d):([0-5]\d|60)"
     r" ([^\n ]++)"
     r" (?=[^\n ]{1,31} )([^ :\[\]\n]++)(?:(\[)([^\]\[\n: ]*+)\])?+: "
-    r"([^\n]*+\n?+)$"
+    # \z, NOT $: Java's default $ also matches *before* a final line
+    # terminator, which would silently drop a trailing byte from the
+    # captured groups and break frame-length arithmetic.
+    r"([^\n]*+\n?+)\z"
 )
 _N3 = 11
 _TPL3 = SEP.join(f"${i}" for i in range(1, _N3 + 1))
@@ -73,10 +81,17 @@ NATIVE_5424_RE = (
     r"(?:Z|[+-]\d{2}:\d{2})) "
     r"([^\n ]++) ([^\n ]++) ([^\n ]++) ([^\n ]++) "
     r'(-|(?:\[[A-Za-z0-9@._#/+-]++(?: [A-Za-z0-9@._#/+-]++="[^"\\\]\n]*+")*+\])++)'
-    r"(?:( )([^\n]*+))?+$"
+    # \z, NOT $ (see NATIVE_3164_RE): with $, a framed message whose body
+    # ends in \n would match with the \n silently excluded from the body
+    # group, corrupting the frame-length reconciliation (e.g. an
+    # exact-length frame would misclassify as premature_eof).  With \z
+    # such rows simply fail the pattern and take the exact Python path.
+    r"(?:( )([^\n]*+))?+\z"
 )
 _N5 = 10
 _TPL5 = SEP.join(f"${i}" for i in range(1, _N5 + 1))
+
+N3, N5 = _N3, _N5  # public group arities (size(groups)==N ⟺ pattern matched)
 
 _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
@@ -86,7 +101,7 @@ _SD_ID_RE = r"^\[([A-Za-z0-9@._#/+-]+)"
 _SD_PARAM_RE = r' [A-Za-z0-9@._#/+-]+="[^"]*"'
 
 
-def _cheap_guards(text: Column) -> Column:
+def cheap_guards(text: Column) -> Column:
     """Non-regex guards shared by both formats: non-null, ASCII (char
     arithmetic == byte arithmetic), separator-free (the rewrite trick),
     bounded length (clear of the 2048-byte arena)."""
@@ -98,21 +113,38 @@ def _cheap_guards(text: Column) -> Column:
     )
 
 
+_cheap_guards = cheap_guards  # back-compat alias
+
+
+def ts_shape_ok(text: Column) -> Column:
+    """Timestamp probe for shape-valid 5424 headers: NILVALUE or a
+    calendar-valid RFC3339 instant.  Every sub-expression is TOTAL
+    (try_element_at / try_to_timestamp) so Catalyst may evaluate it on
+    any row in any order without ANSI crashes — rows whose timestamp is
+    shape-valid but calendar-invalid (month 13 …) go to Python, which
+    emits invalid_timestamp with the right partial fields."""
+    tok = F.try_element_at(F.split(text, " ", 4), F.lit(3))
+    return (tok == "-") | F.try_to_timestamp(tok).isNotNull()
+
+
+def ts_ok_groups_5424(g: Column) -> Column:
+    """Same timestamp probe, but over the already-materialized group
+    array (group 3 = TIMESTAMP) — avoids re-splitting the raw text."""
+    tok = F.try_element_at(g, F.lit(3))
+    return (tok == "-") | F.try_to_timestamp(tok).isNotNull()
+
+
 def native_3164_mask(text: Column) -> Column:
     """ONE regex per row: every validity bound is inside the pattern."""
     return F.coalesce(
-        _cheap_guards(text) & text.rlike(NATIVE_3164_RE), F.lit(False)
+        cheap_guards(text) & text.rlike(NATIVE_3164_RE), F.lit(False)
     )
 
 
 def native_5424_mask(text: Column) -> Column:
-    """ONE regex + one split + one timestamp probe per row.  Rows whose
-    timestamp is shape-valid but calendar-invalid (month 13 …) go to
-    Python, which emits invalid_timestamp with the right partial fields."""
-    ts_tok = F.element_at(F.split(text, " ", 4), 3)
-    ts_ok = (ts_tok == "-") | F.try_to_timestamp(ts_tok).isNotNull()
+    """ONE regex + one split + one timestamp probe per row, all total."""
     return F.coalesce(
-        _cheap_guards(text) & text.rlike(NATIVE_5424_RE) & ts_ok,
+        cheap_guards(text) & text.rlike(NATIVE_5424_RE) & ts_shape_ok(text),
         F.lit(False),
     )
 
@@ -127,14 +159,19 @@ def groups_5424(text: Column) -> Column:
 
 def native_3164_fields(g: Column, ref_now: pd.Timestamp) -> dict:
     """Parsed LogMsg columns from the 3164 group array (all rows valid
-    by construction of the pattern)."""
-    e = lambda i: F.element_at(g, i)  # noqa: E731
-    pri = e(1).cast("int")
+    by construction of the pattern).  Every expression here is TOTAL —
+    try_element_at + try_cast return NULL off-domain instead of raising —
+    so a pushed-down predicate over a parsed column can never crash on
+    rows the mask excludes (Catalyst may reorder filters freely)."""
+    e = lambda i: F.try_element_at(g, F.lit(i))  # noqa: E731
+    pri = e(1).try_cast("int")
     mon = F.array_position(
         F.array(*[F.lit(m) for m in _MONTHS]), e(2)
     ).cast("int")
-    day = F.ltrim(e(3)).cast("int")
-    hh, mm, ss = e(4).cast("int"), e(5).cast("int"), e(6).cast("int")
+    day = F.ltrim(e(3)).try_cast("int")
+    hh = e(4).try_cast("int")
+    mm = e(5).try_cast("int")
+    ss = e(6).try_cast("int")
 
     def _ts(year: int) -> Column:
         # Go time.Date normalization: day/second overflow rolls forward
@@ -199,8 +236,8 @@ def native_5424_fields(g: Column) -> dict:
     * NILVALUE SD at EOF      → early accept (:168-173)
     * bracketed SD at EOF     → premature_eof (:341-343)
     """
-    e = lambda i: F.element_at(g, i)  # noqa: E731
-    pri = e(2).cast("int")
+    e = lambda i: F.try_element_at(g, F.lit(i))  # noqa: E731
+    pri = e(2).try_cast("int")
     ts = e(3)
     body = e(10)
     body_len = F.length(body)
@@ -216,7 +253,7 @@ def native_5424_fields(g: Column) -> dict:
         + F.length(e(7)) + 1
         + F.length(e(8)) + 1
     )
-    md = e(1).cast("long") - hdr_len
+    md = e(1).try_cast("long") - hdr_len
 
     early = has_sp & (body_len < 3)
     neg = has_sp & (body_len >= 3) & (md < 0)
@@ -265,11 +302,3 @@ def native_5424_fields(g: Column) -> dict:
     }
 
 
-def select_native(
-    df: DataFrame, fmt_tag: str, fields: dict, drop: list[str]
-) -> DataFrame:
-    keep = [c for c in df.columns if c not in drop]
-    cols = [F.lit(fmt_tag).alias("format")] + [
-        fields[name].alias(name) for name in PARSED_COLUMNS
-    ]
-    return df.select(*keep, *cols)

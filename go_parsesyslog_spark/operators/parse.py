@@ -99,19 +99,22 @@ def parse_logs(
     text_col: str = "text",
     fmt: str = AUTO,
     ref_now: pd.Timestamp | None = None,
-    engine: str = "native",
+    engine: str | None = None,
 ) -> DataFrame:
     """Attach the parsed LogMsg columns to ``df``.
 
     Equivalent of ParseString/ParseReader over every row (rfc3164.go:65-104,
     rfc5424.go:57-111).
 
-    ``engine="native"`` (default): strictly-canonical rows are parsed
+    ``engine="native"`` (default, overridable via
+    ``$SPARK_GRAFT_PARSE_ENGINE``): strictly-canonical rows are parsed
     entirely JVM-side (whole-stage codegen — see operators/native_fast
     for why this matters at high core counts); everything else takes the
     Arrow-batched exact Python parser.  ``engine="arrow"`` forces the
     Python engine for all rows.
     """
+    if engine is None:
+        engine = os.environ.get("SPARK_GRAFT_PARSE_ENGINE", "native")
     if engine != "native":
         return parse_logs_arrow(df, text_col, fmt, ref_now)
 
@@ -121,51 +124,88 @@ def parse_logs(
     ref = ref_now if ref_now is not None else DEFAULT_REF_NOW
     t = F.col(text_col)
     framed = F.coalesce(t.rlike(_FRAMED_RE), F.lit(False))
+    want3 = fmt in (AUTO, registry.RFC3164)
+    want5 = fmt in (AUTO, registry.RFC5424)
+    if not (want3 or want5):
+        registry.new(fmt)  # raises ParserTypeUnknown eagerly (A2)
 
-    # per-branch: FILTER is one rlike (all bounds inside the pattern);
-    # the capture groups are materialized once in a dedicated Project
-    # (CollapseProject keeps expensive multi-referenced exprs intact),
-    # then every field is a cheap element_at over the split array.
-    branches = []  # (mask, groups_col_expr, tag, fields_fn)
-    # the cheap framing gate goes FIRST: codegen short-circuits && left
-    # to right, so the expensive format regex never runs on rows of the
-    # other format
-    if fmt in (AUTO, registry.RFC3164):
-        m3 = (~framed if fmt == AUTO else F.lit(True)) & nf.native_3164_mask(t)
-        branches.append(
-            (m3, nf.groups_3164(t), "RFC3164",
-             lambda gcol: nf.native_3164_fields(gcol, ref))
-        )
-    if fmt in (AUTO, registry.RFC5424):
-        m5 = (framed if fmt == AUTO else F.lit(True)) & nf.native_5424_mask(t)
-        branches.append(
-            (m5, nf.groups_5424(t), "RFC5424",
-             lambda gcol: nf.native_5424_fields(gcol))
-        )
+    cheap = nf.cheap_guards(t)
+    keep = list(df.columns)
 
-    fast_mask = F.lit(False)
-    parts = []
-    for mask, groups_expr, tag, fields_fn in branches:
-        fast = df.filter(mask).withColumn("_g", groups_expr)
-        parts.append(
-            nf.select_native(fast, tag, fields_fn(F.col("_g")), drop=["_g"])
-        )
-        fast_mask = fast_mask | mask
+    # ---- the group-array Project: ONE regex pass per row.  The anchored
+    # regexp_replace rewrite either matches (→ exactly N groups joined by
+    # SEP; input is SEP-free by cheap_guards) or returns the input
+    # unchanged (→ size 1), so `size(groups) == N` IS the match test —
+    # no separate rlike anywhere.
+    #
+    # The `~isnan(rand)` conjunct is ALWAYS TRUE but nondeterministic-
+    # tagged: Catalyst's PushPredicateThroughNonJoin only pushes filters
+    # through Projects whose fields are all deterministic, so this single
+    # tag pins EVERY downstream predicate (our branch filters, user
+    # filters over parsed columns) above this Project.  Without it, each
+    # pushed predicate is rewritten by substituting the full group
+    # expression — re-running the regex, and (when `text` is itself a
+    # computed column, as in tests/bench) the whole text construction,
+    # once per reference: measured 10× slower.  Trade-off: predicates on
+    # passthrough partition columns won't reach the scan either — filter
+    # the INPUT before parse_logs for partition pruning.
+    nd = ~F.isnan(F.rand(41))
+    gcols = {}
+    if want3:
+        gate3 = cheap & (~framed if fmt == AUTO else F.lit(True))
+        gcols["_g3"] = F.when(gate3 & nd, nf.groups_3164(t))
+    if want5:
+        gate5 = cheap & (framed if fmt == AUTO else F.lit(True))
+        gcols["_g5"] = F.when(gate5 & nd, nf.groups_5424(t))
+    staged = df.withColumns(gcols)
+
+    m3f = (F.size("_g3") == nf.N3) if want3 else F.lit(False)
+    m5f = (
+        (F.size("_g5") == nf.N5) & nf.ts_ok_groups_5424(F.col("_g5"))
+        if want5
+        else F.lit(False)
+    )
+    fast_cond = F.coalesce(m3f | m5f, F.lit(False))
+
+    # Per-row branch discriminator, valid AFTER the fast filter: under
+    # AUTO the framing gate separates the branches; fixed fmt → constant.
+    if fmt == AUTO:
+        is3 = ~framed
+    else:
+        is3 = F.lit(fmt == registry.RFC3164)
+
+    f3 = nf.native_3164_fields(F.col("_g3"), ref) if want3 else None
+    f5 = nf.native_5424_fields(F.col("_g5")) if want5 else None
+
+    def pick(name: str) -> Column:
+        if want3 and want5:
+            return F.when(is3, f3[name]).otherwise(f5[name])
+        return (f3 if want3 else f5)[name]
+
+    if want3 and want5:
+        fmt_col = F.when(is3, F.lit("RFC3164")).otherwise(F.lit("RFC5424"))
+    else:
+        fmt_col = F.lit("RFC3164" if want3 else "RFC5424")
+    fast = staged.filter(fast_cond).select(
+        *keep,
+        fmt_col.alias("format"),
+        *[pick(c).alias(c) for c in PARSED_COLUMNS],
+    )
+
+    # ---- slow branch (separate scan, same single-regex mask): everything
+    # the fast mask excludes takes the exact Arrow-batched Python parser.
     # The Arrow JVM↔Python path degrades sharply above ~16-20 concurrent
     # worker streams (see native_fast module docstring), so the slow
     # branch — a small minority of rows — is funneled into a bounded
     # number of partitions: the filter scan stays fully parallel, only
     # the Python stage is capped.  The shuffle moves slow rows only.
-    slow_rows = df.filter(~fast_mask)
+    slow_rows = staged.filter(~fast_cond).select(*keep)
     cap = int(os.environ.get("SPARK_GRAFT_PY_PARALLELISM", "12"))
     total = df.sparkSession.sparkContext.defaultParallelism
     if total > cap:
         slow_rows = slow_rows.repartition(cap)
     slow = parse_logs_arrow(slow_rows, text_col, fmt, ref_now)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.unionByName(slow)
+    return fast.unionByName(slow)
 
 
 def sd_flat(sd_col: Column | str = "structured_data") -> Column:

@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 DLQ = "dlq"
 
 
+# Hot sets up to this size fold into the route expression as an isin
+# literal (cheapest — no join at all); larger sets take a broadcast hash
+# join so plan size / codegen stay bounded and nothing is truncated.
+HOT_LITERAL_CAP = 1024
+
+
 def with_route_columns(
     df: DataFrame,
     n_buckets: int = 16,
@@ -32,6 +38,7 @@ def with_route_columns(
     hot_threshold: int | None = None,
     hot_source: DataFrame | None = None,
     hot_ids: list | None = None,
+    hot_df: DataFrame | None = None,
 ) -> DataFrame:
     """Add sink_id / conv_bucket / salt columns.
 
@@ -43,6 +50,12 @@ def with_route_columns(
     Pass the RAW input here — hot detection only needs ``conv_id``, and
     counting on the parsed stream would re-run the (expensive) parse UDF
     once per downstream action instead of a cheap column-pruned scan.
+
+    ``hot_ids``: precomputed small hot set, folded in as an isin literal.
+    ``hot_df``: precomputed hot set as a DataFrame with a ``conv_id``
+    column — broadcast-hash-joined; use for hot sets above
+    ``HOT_LITERAL_CAP`` (an isin literal that size bloats plan/codegen,
+    and collecting it risks driver memory at true scale).
     """
     out = df.withColumn(
         "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
@@ -54,23 +67,26 @@ def with_route_columns(
         ),
     )
 
-    if hot_ids is not None:
+    if hot_ids is not None and hot_df is None:
         if len(hot_ids) == 0:
             return out.withColumn("salt", F.lit(0).cast("int"))
         is_hot = F.col("conv_id").isin(list(hot_ids))
     else:
-        counts_src = hot_source if hot_source is not None else df
-        conv_counts = counts_src.groupBy("conv_id").agg(
-            F.count(F.lit(1)).alias("_rows")
-        )
-        if hot_threshold is None:
-            stats = conv_counts.agg(
-                F.avg("_rows").alias("mean"), F.count(F.lit(1)).alias("n")
-            ).collect()[0]
-            hot_threshold = max(64, int(4 * (stats["mean"] or 1)))
-        hot = conv_counts.filter(F.col("_rows") > hot_threshold).select(
-            "conv_id", F.lit(True).alias("_hot")
-        )
+        if hot_df is not None:
+            hot = hot_df.select("conv_id", F.lit(True).alias("_hot"))
+        else:
+            counts_src = hot_source if hot_source is not None else df
+            conv_counts = counts_src.groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("_rows")
+            )
+            if hot_threshold is None:
+                stats = conv_counts.agg(
+                    F.avg("_rows").alias("mean"), F.count(F.lit(1)).alias("n")
+                ).collect()[0]
+                hot_threshold = max(64, int(4 * (stats["mean"] or 1)))
+            hot = conv_counts.filter(F.col("_rows") > hot_threshold).select(
+                "conv_id", F.lit(True).alias("_hot")
+            )
         out = out.join(F.broadcast(hot), "conv_id", "left")
         is_hot = F.col("_hot").isNotNull()
     out = out.withColumn(
@@ -87,14 +103,47 @@ def with_route_columns(
     return out
 
 
+def compute_hot_set(
+    df: DataFrame,
+    hot_threshold: int | None = None,
+    spill_path: str | None = None,
+    literal_cap: int = HOT_LITERAL_CAP,
+) -> dict:
+    """ONE column-pruned pre-aggregation over the raw input detecting the
+    hot conversations (rows > threshold).
+
+    Returns ``{"threshold", "count", "ids", "path"}``: hot sets up to
+    ``literal_cap`` come back as a plain ``ids`` list (fold into the
+    route expression as an isin literal — cheapest, no join); larger sets
+    are written to ``spill_path`` parquet and come back as ``path`` for
+    the broadcast-join route — nothing is ever silently truncated, and
+    driver memory stays bounded at 10^12-turn scale."""
+    conv_counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_rows"))
+    if hot_threshold is None:
+        mean = conv_counts.agg(F.avg("_rows")).collect()[0][0]
+        hot_threshold = max(64, int(4 * (mean or 1)))
+    hot = conv_counts.filter(F.col("_rows") > hot_threshold).select("conv_id")
+    head = [r["conv_id"] for r in hot.limit(literal_cap + 1).collect()]
+    if len(head) <= literal_cap:
+        return {"threshold": hot_threshold, "count": len(head),
+                "ids": head, "path": None}
+    if spill_path is None:
+        raise ValueError(
+            f"hot set exceeds literal cap ({literal_cap}); pass spill_path "
+            "for the broadcast-join route"
+        )
+    hot.coalesce(1).write.mode("overwrite").parquet(spill_path)
+    n = df.sparkSession.read.parquet(spill_path).count()
+    return {"threshold": hot_threshold, "count": n, "ids": None,
+            "path": spill_path}
+
+
 def hot_conv_ids(
     df: DataFrame, hot_threshold: int | None = None, cap: int = 100_000
 ) -> tuple[list, int]:
-    """ONE column-pruned pre-aggregation over the raw input returning the
-    hot conversation ids (rows > threshold) as a plain list — folded into
-    the route expression as a literal isin, which is cheaper than any
-    join.  ``cap`` bounds driver memory; beyond it the caller should use
-    the broadcast-join path instead."""
+    """Deprecated small-scale helper (kept for API compat): collect the
+    hot set as a list.  Prefer ``compute_hot_set`` — it spills oversized
+    hot sets for the broadcast-join route instead of truncating."""
     conv_counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_rows"))
     if hot_threshold is None:
         mean = conv_counts.agg(F.avg("_rows")).collect()[0][0]

@@ -19,8 +19,9 @@ latency overlaps instead of accumulating.
 
 Scale design notes (100 TB / 1000 executors):
 * hot-conversation detection is ONE column-pruned pre-aggregation over
-  the raw input; the hot set folds into the route expression as a
-  literal (no join);
+  the raw input; small hot sets fold into the route expression as a
+  literal (no join), large ones spill to parquet and broadcast-hash-join
+  (bounded plan size + driver memory, nothing truncated);
 * unit size bounds the blast radius of a failure — a killed run loses
   at most the in-flight units; the marker rename is atomic;
 * the fan-out shuffle is keyed (severity_class, conv_bucket, salt) —
@@ -42,7 +43,7 @@ from pyspark.sql import functions as F
 from go_parsesyslog_spark.operators.aggregate import sink_metrics
 from go_parsesyslog_spark.operators.enrich import enrich
 from go_parsesyslog_spark.operators.parse import parse_logs
-from go_parsesyslog_spark.operators.route import hot_conv_ids, with_route_columns
+from go_parsesyslog_spark.operators.route import compute_hot_set, with_route_columns
 from go_parsesyslog_spark.plans import lineage
 from go_parsesyslog_spark.sources.transcripts import REF_NOW
 
@@ -86,17 +87,25 @@ def _process_unit(
     ref_now,
     n_buckets: int,
     salt_buckets: int,
-    hot_ids: list,
+    hot_set: dict,
     n_shuffle: int,
 ) -> tuple[int, int]:
     df = spark.read.parquet(*files)
     parsed = parse_logs(df, text_col="text", fmt=fmt, ref_now=ref_now)
     enriched = enrich(parsed, spark)
+    # Small hot sets fold into the route expression as an isin literal;
+    # large ones (> HOT_LITERAL_CAP) come from the spilled parquet and
+    # take a BroadcastHashJoin — plan size stays bounded, nothing is
+    # truncated (VERDICT r1 #4).
+    hot_df = (
+        spark.read.parquet(hot_set["path"]) if hot_set.get("path") else None
+    )
     routed = with_route_columns(
         enriched,
         n_buckets=n_buckets,
         salt_buckets=salt_buckets,
-        hot_ids=hot_ids,
+        hot_ids=hot_set.get("ids"),
+        hot_df=hot_df,
     )
     # dlq rows: sink_sev='dlq', sink_key=err_code; valid rows: class/bucket
     final = routed.withColumns(
@@ -166,11 +175,13 @@ def run_pipeline(
     if max_units is not None:
         pending = pending[:max_units]
 
-    hot_ids: list = []
+    hot_set: dict = {"ids": [], "path": None, "count": 0}
     if pending:
         all_files = [f for _, fs in pending for f in fs]
-        hot_ids, hot_threshold = hot_conv_ids(
-            spark.read.parquet(*all_files).select("conv_id"), hot_threshold
+        hot_set = compute_hot_set(
+            spark.read.parquet(*all_files).select("conv_id"),
+            hot_threshold,
+            spill_path=os.path.join(out_root, "_hot_set"),
         )
 
     # Concurrent units share the cores: size each unit's fan-out shuffle
@@ -190,7 +201,7 @@ def run_pipeline(
         tu = time.time()
         valid, dlq = _process_unit(
             spark, files, unit_out, metrics_out, fmt, ref_now,
-            n_buckets, salt_buckets, hot_ids, n_shuffle,
+            n_buckets, salt_buckets, hot_set, n_shuffle,
         )
         lineage.record_unit(
             out_root,
@@ -199,7 +210,7 @@ def run_pipeline(
                 "files": files,
                 "rows_valid": valid,
                 "rows_dlq": dlq,
-                "hot_convs": len(hot_ids),
+                "hot_convs": hot_set["count"],
                 "wall_s": round(time.time() - tu, 3),
             },
         )

@@ -75,6 +75,32 @@ def test_mutations_native(spark, seed):
     _assert_equal(spark, muts, "auto")
 
 
+def test_native_filter_explode_after_parse(spark):
+    """Regression (round-1 crash): Catalyst pushes predicates derived
+    from parsed columns (e.g. the implicit filter of explode) below the
+    fast-path mask filter, evaluating field expressions on rows the mask
+    excludes.  All field exprs must be TOTAL (try_element_at/try_cast)
+    so this can never raise INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    lines = RFC5424_VALID + RFC5424_INVALID + [c[1] for c in RFC3164_CASES]
+    df = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(lines)], "i int, text string"
+    )
+    r = parse_logs(df, fmt="auto", ref_now=DEFAULT_REF_NOW, engine="native")
+    # filter on a parsed column, then explode the nested SD — both get
+    # pushed/collapsed through the fast-path projections
+    exploded = (
+        r.filter(F.col("i") >= 0)
+        .filter(F.col("err_code").isNull())
+        .select("i", F.explode("structured_data").alias("sd"))
+        .select("i", "sd.sd_id", F.explode("sd.params").alias("p"))
+    )
+    rows = exploded.collect()
+    assert len(rows) > 0
+    # and a direct predicate over a deep parsed field
+    n = r.filter(F.col("msg_length") > 0).count()
+    assert n > 0
+
+
 def test_native_covers_most_canonical_traffic(spark):
     """The point of the native path: canonical rows must NOT fall through
     to Python."""

@@ -93,21 +93,96 @@ def test_streaming_resume_processes_new_files_only(
     assert spark.read.parquet(f"{base}/sinks").count() == 1400
 
 
-def test_streaming_windowed_metrics(spark, stream_input, tmp_path_factory):
+@pytest.fixture(scope="module")
+def ordered_stream_input(tmp_path_factory):
+    """Same 3000 turns, re-chunked in event-time order (file i = quarter
+    i of the time range) — the arrival pattern of a real log tail, where
+    per-window streaming counts can be exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_parsesyslog_spark.sources.transcripts import generate_transcripts
+
+    path = str(tmp_path_factory.mktemp("stream_in_ordered"))
+    pdf = generate_transcripts(N_ROWS, seed=7).sort_values(
+        ["ts", "conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64[ns"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    step = N_ROWS // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * step: (i + 1) * step if i < 3 else N_ROWS]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+        )
+    return path
+
+
+def test_streaming_windowed_metrics(spark, ordered_stream_input, tmp_path_factory):
+    # The generated 3000-turn input spans ~37 minutes of event time, so
+    # the window/watermark must be smaller than that span for ANY window
+    # to close; and the data must arrive over ≥2 micro-batches so the
+    # watermark advances between batches (append mode emits a window in
+    # the batch AFTER the watermark passes its end — relying on the
+    # final no-data batch of availableNow is a race).  Event-time-ordered
+    # arrival (one quarter of the range per file) means no row is ever
+    # later than the 10-minute watermark, so every emitted window count
+    # is EXACT vs the batch recount.
+    stream_input = ordered_stream_input
     base = str(tmp_path_factory.mktemp("stream_metrics"))
     routed = parsed_stream(
-        read_transcript_stream(spark, stream_input), spark,
-        ref_now=REF_NOW, n_buckets=8,
+        read_transcript_stream(spark, stream_input, max_files_per_trigger=1),
+        spark, ref_now=REF_NOW, n_buckets=8,
     )
     q = stream_windowed_metrics(
-        routed, f"{base}/metrics", f"{base}/ckpt", available_now=True
+        routed, f"{base}/metrics", f"{base}/ckpt",
+        window="5 minutes", watermark="10 minutes", available_now=True,
     )
     q.awaitTermination(300)
     m = spark.read.parquet(f"{base}/metrics")
-    # append mode: only watermark-closed windows are emitted; totals must
-    # never exceed the input and must match the batch recount per window
     total = m.agg(F.sum("turn_count")).collect()[0][0] or 0
     assert 0 < total <= N_ROWS
+
+    # every emitted window must match the batch recount exactly
+    from go_parsesyslog_spark.operators.enrich import enrich
+    from go_parsesyslog_spark.operators.parse import parse_logs
+    from go_parsesyslog_spark.operators.route import with_route_columns
+
+    batch = with_route_columns(
+        enrich(
+            parse_logs(spark.read.parquet(stream_input), fmt="auto",
+                       ref_now=REF_NOW),
+            spark,
+        ),
+        n_buckets=8, hot_ids=[],
+    ).withColumns(
+        {
+            "sink_sev": F.when(
+                F.col("err_code").isNotNull(), F.lit("dlq")
+            ).otherwise(F.col("severity_class")),
+            "sink_key": F.when(
+                F.col("err_code").isNotNull(), F.col("err_code")
+            ).otherwise(F.col("conv_bucket").cast("string")),
+        }
+    )
+    expected = (
+        batch.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "sink_sev", "sink_key"
+        )
+        .agg(F.count(F.lit(1)).alias("exp_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "sink_sev", "sink_key", "exp_count",
+        )
+    )
+    joined = m.join(expected, ["window_start", "sink_sev", "sink_key"], "left")
+    bad = joined.filter(
+        F.col("exp_count").isNull()
+        | (F.col("exp_count") != F.col("turn_count"))
+    )
+    assert bad.isEmpty()
 
 
 def test_streaming_stateful_conv_counters(spark, stream_input, tmp_path_factory):
