@@ -545,7 +545,8 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (rows-only check)."""
+    """MinHash+LSH near-dup candidate pairs (rows-only check; the hard
+    correctness evidence is q_minhash_lsh_recall's oracle)."""
     from go_parsesyslog_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -555,9 +556,57 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_minhash_lsh_recall(spark, sf_dir):
+    """LSH completeness oracle: exact 5-shingle Jaccard ≥ 0.9 computed
+    ONLY on the LSH candidate pairs must equal the brute-force all-pairs
+    answer (DuckDB oracle).  With 16 bands × 4 rows the per-pair miss
+    probability at J=0.9 is (1-0.9⁴)¹⁶ ≈ 4e-8 — the scale path provably
+    finds everything the O(N²) scan finds.  Integer (intersection,
+    union) sizes avoid any float-hash fragility."""
+    from go_parsesyslog_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    g = (
+        docs.select("doc_id", norm.alias("_n"))
+        .filter(F.length("_n") >= 5)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(_n) - 4), "
+                    "i -> substring(_n, i, 5))"
+                )
+            ).alias("sh"),
+        )
+    )
+    joined = (
+        cand.join(
+            g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("inter_size", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("union_size", F.size(F.array_union("sa", "sb")))
+    )
+    return joined.filter(
+        (F.col("union_size") > 0)
+        & (F.col("inter_size") * 10 >= F.col("union_size") * 9)
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("union_size").cast("long").alias("union_size"),
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
-    """64-bit simhash per document (rows-only check; deterministic
-    FNV-1a basis)."""
+    """60-bit simhash per document (md5-prefix token hashes, JVM-side →
+    exact DuckDB oracle)."""
     from go_parsesyslog_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
@@ -568,14 +617,37 @@ def q_simhash_fingerprints(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH buckets
-    (rows-only check)."""
-    from go_parsesyslog_spark.operators.similarity import (
-        embedding_near_dup_pairs,
-    )
-
+    """Exact embedding-cosine near-dup pairs (sim ≥ 0.9): broadcast
+    upper-triangle scan with JVM-side dot products — the verify baseline
+    with a brute-force DuckDB oracle.  The LSH-bucketed scale path
+    (operators/similarity.embedding_near_dup_pairs) is pinned against
+    this exact answer by the recall test in tests/test_training_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, dim=64, threshold=0.9)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.9)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("sim", 3).alias("sim"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -626,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_recall": q_minhash_lsh_recall,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
     }
@@ -804,4 +877,81 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings q, embeddings e "
             "WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) WHERE rn <= 3"
         ),
+        "lang_id": _lang_id_oracle_sql(),
+        "simhash_fingerprints": (
+            # mirrors operators/dedup.simhash exactly: whitespace tokens
+            # of lower(trim(text)), 60-bit md5-prefix hash per token
+            # INSTANCE, per-bit ±1 vote, bit set iff vote > 0
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "lower(trim(text)), '\\s+')) AS tok FROM documents), "
+            "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT "
+            "AS h FROM toks WHERE tok <> ''), "
+            "bits AS (SELECT doc_id, b AS bit, "
+            "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM h, (SELECT unnest(generate_series(0, 59)) AS b) "
+            "GROUP BY doc_id, b), "
+            "fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) "
+            "ELSE 0 END) AS simhash FROM bits GROUP BY doc_id) "
+            "SELECT d.doc_id::BIGINT AS doc_id, "
+            "coalesce(fp.simhash, 0)::BIGINT AS simhash "
+            "FROM documents d LEFT JOIN fp USING (doc_id)"
+        ),
+        "minhash_lsh_recall": (
+            # brute-force all-pairs exact 5-shingle Jaccard ≥ 0.9 over the
+            # whitespace-normalized lowercase text — the LSH candidates
+            # must contain every such pair
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) AS t FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, length(t) - 4), i -> substring(t, i, 5))) "
+            "AS sh FROM n WHERE length(t) >= 5) "
+            "SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b, "
+            "len(list_intersect(a.sh, b.sh))::BIGINT AS inter_size, "
+            "len(list_distinct(list_concat(a.sh, b.sh)))::BIGINT AS union_size "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0 AND "
+            "len(list_intersect(a.sh, b.sh)) * 10 >= "
+            "len(list_distinct(list_concat(a.sh, b.sh))) * 9"
+        ),
+        "embedding_near_dups": (
+            "SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 3) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
+        ),
     }
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB mirror of functions/textstats.language_id_udf: per-language
+    marker-hit counts over ' '+lower(text)+' ' (substring counting via
+    the length-difference trick, integer division by marker length),
+    CJK-codepoint ratio gate first, then first-max argmax over
+    (en, de, fr, es), else 'unknown'."""
+    from go_parsesyslog_spark.functions.textstats import _LANG_MARKERS
+
+    def count_sql(marker: str) -> str:
+        m = marker.replace("'", "''")
+        return (
+            f"(length(p) - length(replace(p, '{m}', ''))) // {len(marker)}"
+        )
+
+    scores = {
+        lang: " + ".join(count_sql(m) for m in _LANG_MARKERS[lang])
+        for lang in ("en", "de", "fr", "es")
+    }
+    return (
+        "WITH t AS (SELECT doc_id, lower(text) AS tl, "
+        "' ' || lower(text) || ' ' AS p FROM documents), "
+        "sc AS (SELECT doc_id, "
+        + ", ".join(f"{scores[lg]} AS s_{lg}" for lg in ("en", "de", "fr", "es"))
+        + ", length(regexp_replace(tl, '[^一-鿿]', '', 'g')) AS cjk"
+        ", greatest(length(tl), 1) AS total FROM t) "
+        "SELECT doc_id::BIGINT AS doc_id, "
+        "CASE WHEN cjk * 1.0 / total > 0.05 THEN 'zh' "
+        "WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown' "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred "
+        "FROM sc"
+    )

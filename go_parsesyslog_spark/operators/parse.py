@@ -157,6 +157,11 @@ def parse_logs(
     if want5:
         gate5 = cheap & (framed if fmt == AUTO else F.lit(True))
         gcols["_g5"] = F.when(gate5 & nd, nf.groups_5424(t))
+    if fmt == AUTO:
+        # materialized once: the consumer Project references the branch
+        # discriminator per output column (16×) — as an attribute that is
+        # free, as an inline rlike it would re-run per reference
+        gcols["_is3"] = ~framed
     staged = df.withColumns(gcols)
 
     m3f = (F.size("_g3") == nf.N3) if want3 else F.lit(False)
@@ -170,7 +175,7 @@ def parse_logs(
     # Per-row branch discriminator, valid AFTER the fast filter: under
     # AUTO the framing gate separates the branches; fixed fmt → constant.
     if fmt == AUTO:
-        is3 = ~framed
+        is3 = F.col("_is3")
     else:
         is3 = F.lit(fmt == registry.RFC3164)
 
@@ -194,14 +199,16 @@ def parse_logs(
 
     # ---- slow branch (separate scan, same single-regex mask): everything
     # the fast mask excludes takes the exact Arrow-batched Python parser.
-    # The Arrow JVM↔Python path degrades sharply above ~16-20 concurrent
-    # worker streams (see native_fast module docstring), so the slow
-    # branch — a small minority of rows — is funneled into a bounded
-    # number of partitions: the filter scan stays fully parallel, only
-    # the Python stage is capped.  The shuffle moves slow rows only.
+    # The Python stage is funneled into a bounded number of partitions:
+    # with many concurrent jobs each fanning Arrow stages across every
+    # core, the per-task Python worker forks/pipes drove measured kernel
+    # time to >80% on local[32] (a fork/futex storm, not compute) and
+    # wall time was 1.3-4× worse than capped.  The filter scan itself
+    # stays fully parallel — only the Python stage is narrowed, and the
+    # shuffle moves slow rows only (a few % of input).
     slow_rows = staged.filter(~fast_cond).select(*keep)
-    cap = int(os.environ.get("SPARK_GRAFT_PY_PARALLELISM", "12"))
     total = df.sparkSession.sparkContext.defaultParallelism
+    cap = int(os.environ.get("SPARK_GRAFT_PY_PARALLELISM", max(8, total // 4)))
     if total > cap:
         slow_rows = slow_rows.repartition(cap)
     slow = parse_logs_arrow(slow_rows, text_col, fmt, ref_now)

@@ -239,55 +239,81 @@ def parse_rfc5424_exact(texts: pd.Series) -> pd.DataFrame:
     h = rest.str.replace(r"^<[^>]*>", "", regex=True)
 
     # ---- stages 3-5: six space-delimited header tokens -------------------
-    hdr = h.str.extract(
-        r"^([^ ]*) ([^ ]*) ([^ ]*) ([^ ]*) ([^ ]*) ([^ ]*) (?s:(.*))$"
-    )
-    ver_tok, ts_tok, host_tok, app_tok, pid_tok, msgid_tok, remainder = (
-        hdr[0], hdr[1], hdr[2], hdr[3], hdr[4], hdr[5], hdr[6]
-    )
-    # regex fails only when a token is not space-terminated → readUntil EOF
-    err[alive & hdr[0].isna()] = ERR_PREMATURE_EOF
-    alive = err.isna()
+    # Tokenized INCREMENTALLY, validating each stage as soon as its token
+    # is space-terminated — the reference's first-failing-stage rule.  A
+    # truncated line with an invalid earlier token must return that
+    # stage's error, not premature_eof ('7 <34>2 ' → invalid_proto_
+    # version; '30 <34>1 BADTS ' → invalid_timestamp); premature_eof is
+    # emitted only when the FAILING stage's own token hits EOF before its
+    # space (readUntil, rfc5424.go:503-532).  Arena accounting is also
+    # per token: overflow while reading token i → wrong_format before
+    # token i's EOF/validity is considered (readByte, :534-549).
+    toks6: list[pd.Series] = []
+    terms6: list[pd.Series] = []
+    cur = h
+    for _ in range(6):
+        first = cur.str.extract(r"^([^ ]*) ", expand=False)
+        term = first.notna()
+        toks6.append(first.where(term, cur))
+        terms6.append(term)
+        cur = cur.str.replace(r"^[^ ]* ", "", regex=True).where(term, "")
+    remainder = cur
+    ver_tok, ts_tok, host_tok, app_tok, pid_tok, msgid_tok = toks6
 
-    tok_lens = sum(pd.to_numeric(hdr[i].str.len(), errors="coerce").fillna(0) for i in range(6))
-    err[alive & ((arena + tok_lens) > ARENA_CAP)] = ERR_WRONG_FORMAT
-    alive = err.isna()
+    arena_run = arena
+    for i, (tok, term) in enumerate(zip(toks6, terms6)):
+        tlen = pd.to_numeric(tok.str.len(), errors="coerce").fillna(0)
+        err[alive & ((arena_run + tlen) > ARENA_CAP)] = ERR_WRONG_FORMAT
+        alive = err.isna()
+        err[alive & ~term] = ERR_PREMATURE_EOF
+        alive = err.isna()
+        arena_run = arena_run + tlen
 
-    # VERSION must parse and equal 1 (rfc5424.go:400-412)
-    ver_ok = ver_tok.str.fullmatch(r"[0-9]+", na=False)
-    ver_val = pd.to_numeric(ver_tok.where(ver_ok), errors="coerce")
-    err[alive & ~(ver_ok & (ver_val == 1))] = ERR_INVALID_PROTO_VERSION
-    alive = err.isna()
+        if i == 0:
+            # VERSION must parse and equal 1 (rfc5424.go:400-412)
+            ver_ok = ver_tok.str.fullmatch(r"[0-9]+", na=False)
+            ver_val = pd.to_numeric(ver_tok.where(ver_ok), errors="coerce")
+            err[alive & ~(ver_ok & (ver_val == 1))] = ERR_INVALID_PROTO_VERSION
+            alive = err.isna()
+        elif i == 1:
+            # TIMESTAMP: NILVALUE/empty → unset; else strict RFC3339
+            # (:417-433)
+            ts_nil = (ts_tok == "-") | (ts_tok == "")
+            ts_shape = ts_tok.str.fullmatch(_RFC3339_RE, na=False)
+            msg_ts = pd.to_datetime(
+                ts_tok.where(alive & ts_shape), errors="coerce", utc=True,
+                format="ISO8601",
+            ).dt.tz_convert(None).astype("datetime64[us]")
+            # pandas ns-range overflow (years > 2262): Go time.Parse
+            # accepts these — recover the rare shape-valid-but-NaT stamps
+            # per row at Spark's native µs precision
+            oob = (alive & ts_shape & ~ts_nil & msg_ts.isna()).to_numpy()
+            if oob.any():
+                import datetime as _dt
+
+                vals = msg_ts.to_numpy().copy()
+                tvals = ts_tok.to_numpy(dtype=object)
+                for j in np.where(oob)[0]:
+                    try:
+                        d = _dt.datetime.fromisoformat(
+                            str(tvals[j]).replace("Z", "+00:00")
+                        )
+                        vals[j] = np.datetime64(
+                            d.astimezone(_dt.timezone.utc).replace(tzinfo=None),
+                            "us",
+                        )
+                    except (ValueError, OverflowError, OSError):
+                        pass
+                msg_ts = pd.Series(vals, index=idx)
+            bad_ts = alive & ~ts_nil & (~ts_shape | msg_ts.isna())
+            err[bad_ts] = ERR_INVALID_TIMESTAMP
+            alive = err.isna()
+
     proto_version = pd.Series(1, index=idx).where(alive).astype("Int32")
-
-    # TIMESTAMP: NILVALUE/empty → unset; else strict RFC3339 (:417-433)
-    ts_nil = (ts_tok == "-") | (ts_tok == "")
-    ts_shape = ts_tok.str.fullmatch(_RFC3339_RE, na=False)
-    msg_ts = pd.to_datetime(
-        ts_tok.where(alive & ts_shape), errors="coerce", utc=True, format="ISO8601"
-    ).dt.tz_convert(None).astype("datetime64[us]")
-    # pandas ns-range overflow (years > 2262): Go time.Parse accepts
-    # these — recover the rare shape-valid-but-NaT stamps per row at
-    # Spark's native µs precision
-    oob = (alive & ts_shape & ~ts_nil & msg_ts.isna()).to_numpy()
-    if oob.any():
-        import datetime as _dt
-
-        vals = msg_ts.to_numpy().copy()
-        toks = ts_tok.to_numpy(dtype=object)
-        for i in np.where(oob)[0]:
-            try:
-                d = _dt.datetime.fromisoformat(str(toks[i]).replace("Z", "+00:00"))
-                vals[i] = np.datetime64(
-                    d.astimezone(_dt.timezone.utc).replace(tzinfo=None), "us"
-                )
-            except (ValueError, OverflowError, OSError):
-                pass
-        msg_ts = pd.Series(vals, index=idx)
-    bad_ts = alive & ~ts_nil & (~ts_shape | msg_ts.isna())
-    err[bad_ts] = ERR_INVALID_TIMESTAMP
-    alive = err.isna()
     msg_ts = msg_ts.where(alive & ~ts_nil)
+    tok_lens = sum(
+        pd.to_numeric(t.str.len(), errors="coerce").fillna(0) for t in toks6
+    )
 
     def _nilable(tok: pd.Series) -> pd.Series:
         # NILVALUE '-' or empty token → NULL (:443-446 et al.)

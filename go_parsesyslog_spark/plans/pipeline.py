@@ -45,6 +45,11 @@ from go_parsesyslog_spark.operators.enrich import enrich
 from go_parsesyslog_spark.operators.parse import parse_logs
 from go_parsesyslog_spark.operators.route import compute_hot_set, with_route_columns
 from go_parsesyslog_spark.plans import lineage
+from go_parsesyslog_spark.sources.tableformat import (
+    read_table,
+    sink_format,
+    write_partitioned,
+)
 from go_parsesyslog_spark.sources.transcripts import REF_NOW
 
 
@@ -124,16 +129,18 @@ def _process_unit(
     final = final.withColumn(
         "text", F.when(F.col("err_code").isNotNull(), F.col("text"))
     )
-    (
-        final.repartition(n_shuffle, "sink_sev", "sink_key", "salt")
-        .write.mode("overwrite")
-        .partitionBy("sink_sev", "sink_key")
-        .parquet(unit_out)
-    )  # Spark job 1: the only pass over the input
+    # Spark job 1: the only pass over the input.  Iceberg when the
+    # runtime jar is present, partitioned parquet otherwise (probe +
+    # logged fallback — sources/tableformat.py).
+    write_partitioned(
+        final.repartition(n_shuffle, "sink_sev", "sink_key", "salt"),
+        unit_out,
+        ["sink_sev", "sink_key"],
+    )
 
     # Spark job 2: windowed metrics over the freshly written unit
-    # (column-pruned parquet scan); the small result merges driver-side.
-    written = spark.read.parquet(unit_out)
+    # (column-pruned scan); the small result merges driver-side.
+    written = read_table(spark, unit_out)
     mpdf = sink_metrics(written).toPandas()
     _write_pandas_parquet(mpdf, metrics_out)
     valid = int(mpdf.loc[mpdf.sink_sev != "dlq", "turn_count"].sum())
@@ -153,7 +160,7 @@ def run_pipeline(
     n_units: int = 4,
     resume: bool = True,
     max_units: int | None = None,
-    unit_parallelism: int = 2,
+    unit_parallelism: int | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline.  Returns a summary dict.
 
@@ -184,11 +191,15 @@ def run_pipeline(
             spill_path=os.path.join(out_root, "_hot_set"),
         )
 
-    # Concurrent units share the cores: size each unit's fan-out shuffle
-    # to its share so concurrent write stages don't oversubscribe (128
-    # in-flight tasks on 32 cores thrash python workers and the
-    # partitioned-write committer).
+    # Concurrent units share the cores: enough units in flight that one
+    # unit's stage boundaries (shuffle map → reduce → commit) overlap
+    # another unit's compute — measured at local[32], 2 in-flight units
+    # leave ~40% of cores idle between stages while 4 keep them busy.
+    # Each unit's fan-out shuffle is sized to its core share so the
+    # combined in-flight task count stays ≈ the core count.
     total_cores = spark.sparkContext.defaultParallelism
+    if unit_parallelism is None:
+        unit_parallelism = min(len(units), max(2, total_cores // 2))
     n_shuffle = max(8, total_cores // max(1, unit_parallelism))
 
     def run_one(unit):
@@ -263,12 +274,26 @@ def run_pipeline(
     }
 
 
+def _read_sinks(spark: SparkSession, out_root: str) -> DataFrame:
+    sinks = os.path.join(out_root, "sinks")
+    if sink_format(spark) == "parquet":
+        return spark.read.parquet(sinks)
+    # Iceberg path-based tables are one table per unit — union them.
+    units = sorted(
+        os.path.join(sinks, d) for d in os.listdir(sinks)
+        if d.startswith("unit=")
+    )
+    dfs = [read_table(spark, u) for u in units]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def read_routed(spark: SparkSession, out_root: str) -> DataFrame:
     """All committed routed (non-dlq) rows."""
-    df = spark.read.parquet(os.path.join(out_root, "sinks"))
-    return df.filter(F.col("sink_sev") != "dlq")
+    return _read_sinks(spark, out_root).filter(F.col("sink_sev") != "dlq")
 
 
 def read_dlq(spark: SparkSession, out_root: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(out_root, "sinks"))
-    return df.filter(F.col("sink_sev") == "dlq")
+    return _read_sinks(spark, out_root).filter(F.col("sink_sev") == "dlq")

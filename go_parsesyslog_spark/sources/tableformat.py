@@ -1,0 +1,80 @@
+"""Table-format selection: Iceberg when the runtime is present, parquet
+otherwise.
+
+The north-star input is "an Iceberg table of transcripts" and the sinks
+are "fan-out Iceberg tables".  Iceberg is a *runtime dependency* — the
+`iceberg-spark-runtime` jar on the session classpath — not a code-level
+one, so this module probes for it once per session and routes writes/
+reads accordingly:
+
+* **Iceberg present** → partitioned Iceberg writes (atomic snapshot
+  commits give the pipeline's per-unit resume "for free" on top of our
+  lineage markers, and readers get hidden-partition pruning).
+* **Iceberg absent (this sandbox: no jar baked in, no network to fetch
+  one)** → plain partitioned parquet with an explicitly logged reason.
+  Every correctness property the tests pin (routed-row equality,
+  per-sink counts, resume-without-reprocessing via lineage markers) is
+  format-independent; what parquet loses vs Iceberg is snapshot
+  isolation on concurrent writers and O(1) metadata listing — both
+  called out in README.md.
+
+The probe is reflection-based (`Class.forName`) so it costs nothing and
+cannot crash a session that lacks the jar.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ICEBERG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+_probe_cache: dict[str, bool] = {}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the session classpath."""
+    key = "default"
+    if key not in _probe_cache:
+        try:
+            spark._jvm.java.lang.Class.forName(_ICEBERG_CLASS)  # noqa: SLF001
+            _probe_cache[key] = True
+        except Exception:
+            _probe_cache[key] = False
+            print(
+                "go_parsesyslog_spark: Iceberg runtime not on classpath "
+                f"({_ICEBERG_CLASS} not loadable) — falling back to "
+                "partitioned parquet sinks. Add iceberg-spark-runtime to "
+                "--jars/--packages to enable Iceberg tables.",
+                file=sys.stderr,
+            )
+    return _probe_cache[key]
+
+
+def sink_format(spark: SparkSession) -> str:
+    return "iceberg" if iceberg_available(spark) else "parquet"
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> str:
+    """Partitioned table write in the best available format.
+
+    Returns the format used so callers (lineage records, tests) can
+    assert on it.  Iceberg path-based tables (HadoopTables) keep the
+    call shape identical to parquet — only the `format` differs."""
+    fmt = sink_format(df.sparkSession)
+    (
+        df.write.format(fmt)
+        .mode(mode)
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+    return fmt
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.format(sink_format(spark)).load(path)

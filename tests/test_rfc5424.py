@@ -116,6 +116,27 @@ def test_err_codes_first_failing_stage():
         assert row.err_code == code, f"invalid[{i}]: {row.err_code} != {code}"
 
 
+def test_truncated_but_stage_invalid_lines():
+    """First-failing-stage on TRUNCATED input: each header stage is
+    validated as soon as its own token is space-terminated, so a line
+    that ends right after an invalid token returns that stage's error;
+    premature_eof is reserved for the failing stage's token itself
+    hitting EOF before its space (rfc5424.go:124-148, readUntil
+    :503-532)."""
+    cases = [
+        ("7 <34>2 ", "invalid_proto_version"),   # version 2, terminated
+        ("7 <34>2", "premature_eof"),            # version token at EOF
+        ("30 <34>1 BADTS ", "invalid_timestamp"),  # ts terminated
+        ("30 <34>1 BADTS", "premature_eof"),     # ts token at EOF
+        ("9 <999>1 ", "invalid_prio"),           # PRI fails before version
+        ("5 <34>", "premature_eof"),             # version token empty at EOF
+        ("3 <3x> ", "invalid_number"),           # PRI not digits
+    ]
+    for text, code in cases:
+        row = _parse_one(text)
+        assert row.err_code == code, f"{text!r}: {row.err_code} != {code}"
+
+
 def test_sd_section_at_eof_is_premature():
     """A bracketed SD ending exactly at EOF → post-FSM ReadByte EOF
     (rfc5424.go:341-343)."""
