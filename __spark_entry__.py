@@ -568,26 +568,41 @@ def q_minhash_lsh_recall(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(docs, num_hashes=64, bands=16)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    # Shingles are HASHED to int64 (md5-prefix — the one 64-bit hash
+    # DuckDB can recompute bit-identically) before the pair join: the
+    # candidate join materializes each doc's shingle set once per pair,
+    # and primitive long arrays copy/intersect ~5× faster than 5-char
+    # string arrays (measured 50s → ~17s on 864k pairs).  Collisions
+    # cannot break the oracle match: both engines hash identically, so
+    # both count intersections of the same values.
+    gram_hash = (
+        "transform(sequence(1, length(_n) - 4), "
+        "i -> cast(conv(substring(md5(substring(_n, i, 5)), 1, 15), 16, 10) "
+        "as bigint))"
+    )
     g = (
         docs.select("doc_id", norm.alias("_n"))
         .filter(F.length("_n") >= 5)
         .select(
             "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, length(_n) - 4), "
-                    "i -> substring(_n, i, 5))"
-                )
-            ).alias("sh"),
+            F.array_distinct(F.expr(gram_hash)).alias("sh"),
         )
     )
+    # broadcast the gram table: the shingle arrays are far fatter than
+    # the candidate pair rows — never shuffle them through the join
     joined = (
         cand.join(
-            g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            F.broadcast(
+                g.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("sa"))
+            ),
             "doc_a",
         )
         .join(
-            g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            F.broadcast(
+                g.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("sb"))
+            ),
             "doc_b",
         )
         .withColumn("inter_size", F.size(F.array_intersect("sa", "sb")))
@@ -618,35 +633,40 @@ def q_simhash_fingerprints(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (sim ≥ 0.9): broadcast
-    upper-triangle scan with JVM-side dot products — the verify baseline
-    with a brute-force DuckDB oracle.  The LSH-bucketed scale path
-    (operators/similarity.embedding_near_dup_pairs) is pinned against
-    this exact answer by the recall test in tests/test_training_ops.py."""
+    corpus matrix + per-batch BLAS matmul (mapInPandas) — the verify
+    baseline with a brute-force DuckDB oracle.  The LSH-bucketed scale
+    path (operators/similarity.embedding_near_dup_pairs) is pinned
+    against this exact answer by the recall test in
+    tests/test_training_ops.py."""
+    from go_parsesyslog_spark.operators.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    out = embedding_near_dup_pairs_exact(emb, threshold=0.9)
+    return out.select("id_a", "id_b", F.round("sim", 3).alias("sim"))
+
+
+def q_multi_message_split(spark, sf_dir):
+    """ParseReader-over-a-stream analog (rfc5424_test.go:147-153,
+    README.md:17-22): each event carries a blob of 3 newline-delimited
+    RFC3164 messages; split_messages explodes it one row per message,
+    newline kept in the message like ReadSlice('\\n')."""
+    from go_parsesyslog_spark.operators.split import split_messages
+
+    ev = _t(spark, sf_dir, "events").select("event_id").withColumn(
+        "text",
+        F.concat(*[
+            F.format_string(
+                f"<13>Oct 11 10:00:0{i} h app: m{i} #%d\n", F.col("event_id")
+            )
+            for i in (1, 2, 3)
+        ]),
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    sim = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
-    return (
-        pairs.withColumn("sim", sim)
-        .filter(F.col("sim") >= 0.9)
-        .select(
-            F.col("id_a").cast("long").alias("id_a"),
-            F.col("id_b").cast("long").alias("id_b"),
-            F.round("sim", 3).alias("sim"),
-        )
+    return split_messages(ev, fmt="rfc3164").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("msg_idx").cast("long").alias("msg_idx"),
+        F.col("text").alias("msg"),
     )
 
 
@@ -701,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_recall": q_minhash_lsh_recall,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
+        "multi_message_split": q_multi_message_split,
     }
 
 
@@ -899,11 +920,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_recall": (
             # brute-force all-pairs exact 5-shingle Jaccard ≥ 0.9 over the
             # whitespace-normalized lowercase text — the LSH candidates
-            # must contain every such pair
+            # must contain every such pair.  Shingles hashed to int64 via
+            # the md5-prefix, bit-identical to the Spark side.
             "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS t FROM documents), "
             "s AS (SELECT doc_id, list_distinct(list_transform("
-            "generate_series(1, length(t) - 4), i -> substring(t, i, 5))) "
+            "generate_series(1, length(t) - 4), i -> "
+            "('0x' || substr(md5(substring(t, i, 5)), 1, 15))::BIGINT)) "
             "AS sh FROM n WHERE length(t) >= 5) "
             "SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b, "
             "len(list_intersect(a.sh, b.sh))::BIGINT AS inter_size, "
@@ -918,6 +941,13 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.embedding, b.embedding), 3) AS sim "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
+        ),
+        "multi_message_split": " UNION ALL ".join(
+            "SELECT event_id::BIGINT AS event_id, "
+            f"{i - 1}::BIGINT AS msg_idx, "
+            f"'<13>Oct 11 10:00:0{i} h app: m{i} #' || event_id || chr(10) "
+            "AS msg FROM events"
+            for i in (1, 2, 3)
         ),
     }
 

@@ -113,6 +113,47 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def parse_microbench(spark, rows: int = 4_000_000) -> dict:
+    """Per-core parse throughput on canonical wire messages — the
+    apples-to-apples line against the reference's ns/op numbers
+    (BASELINE.md: RFC3164 490ns/op ≈ 2.04M msg/s/core, RFC5424
+    1433ns/op ≈ 698k msg/s/core).  Measures the steady-state native
+    engine end-to-end through Spark (scan-equivalent range source →
+    parse → noop), not a stripped inner loop."""
+    import time as _t
+
+    from go_parsesyslog_spark.operators.parse import parse_logs
+
+    cores = spark.sparkContext.defaultParallelism
+    out = {}
+    gens = {
+        "rfc3164": (
+            "concat('<34>Oct 11 22:14:15 host', cast(id % 50 as string),"
+            " ' app', cast(id % 7 as string), '[', cast(id % 1000 as string),"
+            " ']: message body number ', cast(id as string)) AS text"
+        ),
+        "rfc5424": (
+            "concat(cast(66 + length(cast(id as string)) as string),"
+            " ' <165>1 2024-01-02T03:04:05.006Z host app proc msgid"
+            " [ex@1 k=\"v\"] body number ', cast(id as string)) AS text"
+        ),
+    }
+    for fmt, expr in gens.items():
+        df = spark.range(0, rows, 1, cores * 2).selectExpr(expr)
+        parsed = parse_logs(df, fmt=fmt)
+        parsed.write.format("noop").mode("overwrite").save()  # warm
+        t0 = _t.time()
+        parsed.write.format("noop").mode("overwrite").save()
+        dt = _t.time() - t0
+        out[fmt] = {
+            "rows": rows,
+            "seconds": round(dt, 2),
+            "rows_per_sec": round(rows / dt),
+            "rows_per_sec_per_core": round(rows / dt / cores),
+        }
+    return out
+
+
 def native_coverage(spark, input_path: str) -> dict:
     """Bench hygiene: what fraction of the pipeline's transcript input
     the JVM-native fast path handles (rows NOT taking the Arrow/Python
@@ -169,6 +210,7 @@ def main() -> None:
         "parse_engine": os.environ.get("SPARK_GRAFT_PARSE_ENGINE", "native"),
         "query_timing": "second run (steady state; run 1 warms codegen)",
         "native_coverage": native_coverage(spark, ensure_transcripts(sf)),
+        "parse_microbench": parse_microbench(spark),
     }
     spark.stop()
     print(json.dumps(out))

@@ -48,9 +48,15 @@ def _hash_shingles(texts: pd.Series, k: int) -> list[np.ndarray]:
         return [np.zeros(1, dtype=np.uint64) for _ in norm]
     pows = np.power(np.uint64(257), np.arange(k, dtype=np.uint64),
                     dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(buf, k)
-    hashes = (windows.astype(np.uint64) * pows).sum(axis=1)  # wraps 2^64
-    valid = (windows != 0).all(axis=1)
+    # k shifted full-buffer slices instead of a materialized
+    # (len(buf) × k) window matrix — O(len) memory, same hash values
+    nw = len(buf) - k + 1
+    hashes = np.zeros(nw, dtype=np.uint64)
+    valid = np.ones(nw, dtype=bool)
+    for j in range(k):
+        col = buf[j: j + nw]
+        hashes += col.astype(np.uint64) * pows[j]  # wraps 2^64
+        valid &= col != 0
     # doc i's windows start in [starts[i], starts[i] + len(norm[i]) - k]
     lens = np.array([len(b) for b in norm], dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(lens + k)[:-1]))
@@ -118,11 +124,18 @@ def minhash_lsh_pairs(
 
     Scale: each doc emits ``bands`` (band, hash) rows; the groupBy key
     is (band, band_hash) so the shuffle is uniform unless the corpus is
-    pathological — a skew guard drops buckets larger than 10k docs
-    (boilerplate clusters) like production dedup pipelines do.
+    pathological.  Mega-buckets (boilerplate clusters beyond
+    ``bucket_pair_cap`` members) would explode quadratically under the
+    all-pairs join — 10k ids → 5×10⁷ pairs — so above the cap the
+    bucket emits a sorted CHAIN of edges instead (id₁-id₂, id₂-id₃, …):
+    O(bucket) candidates that keep the whole cluster CONNECTED for the
+    downstream dedup-clustering union, at the cost of not enumerating
+    every within-cluster pair.  (Run exact dedup first — identical
+    boilerplate collapses before LSH ever sees it.)
     """
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_k, seed)
     rows_per_band = num_hashes // bands
+    bucket_pair_cap = 4096
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -136,17 +149,26 @@ def minhash_lsh_pairs(
     )
     buckets = (
         banded.groupBy("band", "band_hash")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= 10_000))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    pairs = (
-        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+    small = buckets.filter(F.size("ids") <= bucket_pair_cap)
+    pairs_small = (
+        small.select(F.explode("ids").alias("a"), F.col("ids"))
         .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-        .distinct()
     )
-    return pairs
+    large = buckets.filter(F.size("ids") > bucket_pair_cap)
+    pairs_large = large.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ids", 1, F.size("ids") - 1).alias("doc_a"),
+                F.slice("ids", 2, F.size("ids") - 1).alias("doc_b"),
+            )
+        ).alias("e")
+    ).select(F.col("e.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b"))
+    return pairs_small.unionByName(pairs_large).distinct()
 
 
 SIMHASH_BITS = 60  # 15 hex digits of md5 → fits a signed BIGINT exactly

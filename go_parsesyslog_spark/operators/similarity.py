@@ -137,6 +137,58 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_dup_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs (sim ≥ threshold, id_a < id_b):
+    the verify baseline against which the LSH scale path is pinned.
+
+    Shape: the whole corpus matrix is broadcast (one copy per executor)
+    and each partition's rows matmul against it in BLAS via mapInPandas
+    — O(N²·d) flops but vectorized and embarrassingly parallel across
+    the left side; per-pair higher-order-function dot products are
+    ~50-100× slower (measured 85s vs <2s on 5k×64 at local[32]).
+    Use only when one side fits executor memory (e.g. ≤ a few M × small
+    dim); beyond that, the LSH-bucketed variant below IS the design."""
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        rid, rmat, rnorm = b_ids.value, b_mat.value, b_norms.value
+        for pdf_in in batches:
+            if not len(pdf_in):
+                continue
+            lid = pdf_in[id_col].to_numpy()
+            lmat = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
+            lnorm = np.linalg.norm(lmat, axis=1)
+            sims = (lmat @ rmat.T) / np.outer(lnorm, rnorm)
+            li, ri = np.where(
+                (sims >= threshold) & (lid[:, None] < rid[None, :])
+            )
+            yield pd.DataFrame({
+                "id_a": lid[li].astype(np.int64),
+                "id_b": rid[ri].astype(np.int64),
+                "sim": sims[li, ri],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

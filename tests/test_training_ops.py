@@ -116,6 +116,34 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert (0, 10_000) in got
 
 
+def test_embedding_near_dups_lsh_vs_exact(spark, emb):
+    """The LSH scale path pinned against the exact BLAS baseline: every
+    pair the LSH variant reports must be a real ≥-threshold pair (its
+    sims are exact on candidates), and at a near-1 threshold with a
+    planted duplicate it must find everything exact finds."""
+    from go_parsesyslog_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    dup = emb.limit(3).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding",
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dup)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_exact(corpus, 0.999).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(corpus, dim=64,
+                                          threshold=0.999).collect()
+    }
+    assert lsh <= exact
+    assert lsh == exact  # identical vectors share every bucket
+
+
 def test_quality_and_tokens(spark):
     from go_parsesyslog_spark.functions.textstats import (
         bpe_ish_token_count,
