@@ -65,16 +65,27 @@ _SD_PARAM = re.compile(r' ([A-Za-z0-9@._#/+-]+)="([^"]*)"')
 def combine_fast_slow(fast_df: pd.DataFrame, slow_out: pd.DataFrame) -> pd.DataFrame:
     """Merge fast-path and exact-fallback frames (disjoint positional
     indexes) and scrub the NaNs pd.concat silently introduces into
-    all-None object columns (Arrow rejects NaN in list-typed columns)."""
+    all-None object columns (Arrow rejects NaN in list-typed columns).
+
+    The scrub must also catch columns whose dtype COLLAPSED to float64:
+    when one side is empty (or its column all-None), concat infers
+    float64 for the whole column and every None becomes a float NaN —
+    which the Arrow serializer then tries to iterate as a list and
+    crashes.  Any column that was object-typed on either input stays
+    object-typed on the output."""
     out = pd.concat([fast_df, slow_out]).sort_index()
     for c in out.columns:
         col = out[c]
-        if col.dtype == object:
+        was_object = (
+            (c in fast_df.columns and fast_df[c].dtype == object)
+            or (c in slow_out.columns and slow_out[c].dtype == object)
+        )
+        if col.dtype == object or was_object:
             arr = col.to_numpy(dtype=object, copy=True)
             mask = pd.isna(arr)
             if mask.any():
                 arr[mask] = None
-                out[c] = pd.Series(arr, index=out.index, dtype=object)
+            out[c] = pd.Series(arr, index=out.index, dtype=object)
     return out
 
 

@@ -39,6 +39,33 @@ PARSED_WITH_FORMAT = T.StructType(
 _FRAMED_RE = r"^[0-9]+ "
 
 
+# Output columns whose Spark type is string / array / struct-ish: cells
+# must be None or a proper value, NEVER a float NaN.  pandas silently
+# introduces NaN into object columns via Series.where / concat dtype
+# inference (an all-None column collapsing to float64 turns every None
+# into nan) — and the Arrow serializer then crashes trying to iterate a
+# float as the array type.  One scrub at the UDF boundary guarantees the
+# contract for every engine / fast-slow split / batch mixture.
+_OBJECT_COLS = [
+    "format", "host", "app", "pid", "msgid", "structured_data",
+    "message", "err_code",
+]
+
+
+def _scrub_object_nans(out: pd.DataFrame) -> pd.DataFrame:
+    for c in _OBJECT_COLS:
+        if c not in out.columns:
+            continue
+        col = out[c]
+        arr = col.to_numpy(dtype=object, copy=True)
+        mask = pd.isna(arr)
+        if mask.any():
+            arr[mask] = None
+        if mask.any() or col.dtype != object:
+            out[c] = pd.Series(arr, index=out.index, dtype=object)
+    return out
+
+
 def _dispatch_batch(texts: pd.Series, ref_now) -> pd.DataFrame:
     texts = texts.reset_index(drop=True)
     mask = texts.fillna("").str.match(_FRAMED_RE).to_numpy()
@@ -54,7 +81,7 @@ def _dispatch_batch(texts: pd.Series, ref_now) -> pd.DataFrame:
         p.insert(0, "format", "RFC3164")
         parts.append(p)
     out = pd.concat(parts).sort_index() if len(parts) > 1 else parts[0]
-    return out
+    return _scrub_object_nans(out)
 
 
 def make_parse_udf(fmt: str = AUTO, ref_now: pd.Timestamp | None = None):
@@ -67,7 +94,7 @@ def make_parse_udf(fmt: str = AUTO, ref_now: pd.Timestamp | None = None):
         def fn(texts: pd.Series) -> pd.DataFrame:
             out = registry.new(registry.RFC3164)(texts, ref_now=ref_now)
             out.insert(0, "format", "RFC3164")
-            return out
+            return _scrub_object_nans(out)
     else:
         batch = registry.new(fmt)  # raises ParserTypeUnknown eagerly (A2)
         tag = fmt.upper()
@@ -75,7 +102,7 @@ def make_parse_udf(fmt: str = AUTO, ref_now: pd.Timestamp | None = None):
         def fn(texts: pd.Series) -> pd.DataFrame:
             out = batch(texts)
             out.insert(0, "format", tag)
-            return out
+            return _scrub_object_nans(out)
 
     return F.pandas_udf(fn, PARSED_WITH_FORMAT)
 

@@ -106,6 +106,8 @@ def parse_rfc3164_batch(
         if fast_df is not None:
             if not slow.any():
                 return fast_df.reset_index(drop=True)
+            if slow.all():
+                return parse_rfc3164_exact(s, ref_now)
             slow_out = parse_rfc3164_exact(s[slow], ref_now)
             slow_out.index = np.where(slow)[0]
             from go_parsesyslog_spark.operators.fastpath import (

@@ -183,6 +183,8 @@ def parse_rfc5424_batch(texts: pd.Series, use_fast: bool = True) -> pd.DataFrame
         if fast_df is not None:
             if not slow.any():
                 return fast_df.reset_index(drop=True)
+            if slow.all():
+                return parse_rfc5424_exact(s)
             slow_out = parse_rfc5424_exact(s[slow])
             slow_out.index = np.where(slow)[0]
             from go_parsesyslog_spark.operators.fastpath import (

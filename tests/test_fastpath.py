@@ -116,6 +116,40 @@ def test_fast_path_actually_used():
     assert pc.is_valid(m5).to_pandas().mean() > 0.80
 
 
+def test_all_slow_batch_keeps_object_dtype():
+    """Regression: a (sub-)batch where EVERY row takes the exact
+    fallback used to concat an all-None object column with an EMPTY
+    fast frame — pandas collapses that to float64 and every None becomes
+    a float NaN, which the Arrow serializer then tries to iterate as a
+    list and crashes the job.  All object-expected columns must stay
+    object-dtyped with only None/list/str cells, for every split of
+    fast vs slow rows."""
+    import pandas as pd
+
+    from go_parsesyslog_spark.operators.parse import _dispatch_batch
+
+    batches = [
+        # all rows slow (invalid frames that die at early stages)
+        ["38 <>1 2025-10-21T15:30:00Z h a p m - bad"],
+        ["40 <34>1 2025-13-01T00:00:00Z h a p m - bad"],
+        # slow + canonical mixed
+        ["38 <>1 2025-10-21T15:30:00Z h a p m - bad",
+         "47 <34>1 2024-01-02T03:04:05Z h a p m - hello frame x"],
+        # slow 5424 + canonical 3164 (exercises the dispatch concat too)
+        ["40 <34>1 2025-13-01T00:00:00Z h a p m - bad",
+         "<34>Oct 11 22:14:15 h a: x"],
+    ]
+    for lines in batches:
+        out = _dispatch_batch(pd.Series(lines), None)
+        for col in ("structured_data", "message", "host", "app", "pid",
+                    "msgid", "err_code"):
+            assert out[col].dtype == object, (col, lines)
+            for v in out[col]:
+                assert v is None or isinstance(v, (list, str)), (
+                    col, v, lines
+                )
+
+
 def test_cli_demo(capsys=None):
     """A20 parity: the stdin demo parses and pretty-prints (cmd/
     stdin-parser/main.go:19-65)."""
