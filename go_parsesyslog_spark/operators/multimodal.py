@@ -1,17 +1,31 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, decoded + feature-extracted inside Arrow-batched
+``mapInPandas`` tasks.
+
+REAL decode kernels (pure numpy, no codec libraries needed):
+
+* **WAV / RIFF PCM audio** — header parse (channels, rate, bit depth),
+  PCM → float samples, features: duration, RMS, peak, zero-crossing
+  rate, dominant frequency + spectral centroid via numpy FFT.
+* **BMP images (uncompressed 24/32-bit)** — header parse, bottom-up
+  BGR row decode (4-byte row padding), luma conversion, 8×8
+  nearest-neighbor downsample, features: dimensions + luma stats +
+  coarse histogram.
+
+Formats that genuinely require codec libraries absent from this
+container (mp4/h264 video, png/jpeg) stay honestly stubbed: with
+``fake=False`` they surface a per-row error (never throw the job);
+``fake=True`` (default) substitutes a deterministic sha256-derived
+feature so the distributed plumbing is exercised end-to-end either way.
 
 The Spark-side machinery — schema, partition-friendly batch iteration,
-Arrow-batched UDF signatures, frame-sampling plan — is real and tested.
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubbed: by default they raise NotImplementedError;
-with ``fake=True`` they produce a deterministic fake derived from the
-bytes, so the distributed plumbing can be exercised end-to-end.
+frame-sampling fan-out — is real and tested for all kinds.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,42 +52,192 @@ FEATURE_SCHEMA = (
 )
 
 
-def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+# ---------------------------------------------------------------------------
+# synthesizers (deterministic test media, also used by make_fake_media)
+# ---------------------------------------------------------------------------
+
+def synth_wav(freq_hz: float = 440.0, seconds: float = 0.25,
+              rate: int = 8000, amplitude: float = 0.5) -> bytes:
+    """Minimal mono 16-bit PCM WAV of a sine tone."""
+    t = np.arange(int(rate * seconds)) / rate
+    pcm = (amplitude * 32767 * np.sin(2 * np.pi * freq_hz * t)).astype("<i2")
+    data = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def synth_bmp(width: int = 16, height: int = 12, seed: int = 0) -> bytes:
+    """Minimal uncompressed 24-bit BMP (bottom-up, 4-byte row padding)
+    with a deterministic gradient + seed-noise image."""
     rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, width, dtype=np.float64)[None, :]
+    y = np.linspace(0, 255, height, dtype=np.float64)[:, None]
+    base = (x + y) / 2
+    img = np.stack(
+        [base, np.flipud(base), rng.integers(0, 256, (height, width))],
+        axis=2,
+    ).astype(np.uint8)  # (h, w, RGB)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
     rows = []
-    kinds = ["image", "audio", "video"]
-    for i in range(n):
-        kind = kinds[i % 3]
-        payload = rng.integers(0, 256, 128 + (i % 64), dtype=np.uint8).tobytes()
-        rows.append(
-            (
-                i,
-                kind,
-                {"image": "image/png", "audio": "audio/wav",
-                 "video": "video/mp4"}[kind],
-                bytearray(payload),
-                64 + i % 32 if kind != "audio" else None,
-                48 + i % 32 if kind != "audio" else None,
-                1000 + i if kind != "image" else None,
-            )
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for r in range(height - 1, -1, -1):  # bottom-up
+        bgr = img[r, :, ::-1].tobytes()
+        rows.append(bgr + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        len(pixel_data), 2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + pixel_data
 
 
-def _decode_stub(payload: bytes, kind: str, fake: bool):
-    """The codec boundary.  Real implementation requires PIL/ffmpeg —
-    unavailable here; the fake path derives a deterministic 8-dim
-    feature from a sha256 of the payload."""
-    if not fake:
-        raise NotImplementedError(
-            f"{kind} decoding requires codec libraries not present in "
-            "this environment (PIL/ffmpeg/librosa); run with fake=True "
-            "for the deterministic stub"
-        )
+# ---------------------------------------------------------------------------
+# decoders (pure numpy)
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/PCM WAV → (samples float64 in [-1,1] mono-mixed, rate)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16, 32):
+        raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+    if bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768
+    else:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2**31
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def audio_features(payload: bytes) -> list[float]:
+    """8-dim audio feature vector from a PCM WAV payload."""
+    x, rate = decode_wav(payload)
+    n = len(x)
+    if n == 0:
+        return [0.0] * 8
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    dom = float(freqs[int(np.argmax(spec[1:])) + 1]) if len(spec) > 1 else 0.0
+    centroid = float((freqs * spec).sum() / max(spec.sum(), 1e-12))
+    return [n / rate, float(rate), rms, peak, zcr, dom, centroid,
+            float(np.mean(x))]
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → (h, w, 3) RGB uint8."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, width, height = struct.unpack("<Iii", payload[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", payload[26:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    ch = bpp // 8
+    row_bytes = (width * ch + 3) & ~3
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)
+    img = px[:, : width * ch].reshape(height, width, ch)[:, :, :3][:, :, ::-1]
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def image_features(payload: bytes) -> list[float]:
+    """16-dim image feature vector: dims, luma stats, 8-bin histogram,
+    plus a 2×2 nearest-neighbor thumbnail of the luma plane (the
+    resize kernel, exercised for real)."""
+    img = decode_bmp(payload)
+    h, w = img.shape[:2]
+    luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+            + 0.114 * img[:, :, 2])
+    hist, _ = np.histogram(luma, bins=8, range=(0, 256))
+    hist = hist / max(luma.size, 1)
+    thumb = resize_nearest(luma, 2, 2).ravel() / 255.0
+    return ([float(w), float(h), float(luma.mean()) / 255.0,
+             float(luma.std()) / 255.0]
+            + hist.astype(float).tolist() + thumb.astype(float).tolist())
+
+
+def resize_nearest(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of a 2-D plane (the real resize kernel
+    used by image_features; pure index arithmetic)."""
+    h, w = plane.shape
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return plane[yi[:, None], xi[None, :]]
+
+
+def _fake_feature(payload: bytes) -> list[float]:
     digest = hashlib.sha256(payload).digest()
     feat = np.frombuffer(digest[:32], dtype=np.uint8).reshape(8, 4)
     return (feat.sum(axis=1).astype(np.float32) / 255.0).tolist()
+
+
+def decode_features(payload: bytes, kind: str, mime: str,
+                    fake: bool) -> list[float]:
+    """The codec boundary: real numpy decoders for WAV and BMP; formats
+    needing absent codec libraries (mp4, png, jpeg) either raise (fake
+    =False → per-row err) or yield the deterministic sha256 fake."""
+    if mime in ("audio/wav", "audio/x-wav"):
+        return audio_features(payload)
+    if mime in ("image/bmp", "image/x-ms-bmp"):
+        return image_features(payload)
+    if not fake:
+        raise NotImplementedError(
+            f"decoding {mime} requires codec libraries not present in "
+            "this environment (PIL/ffmpeg); WAV and BMP decode natively"
+        )
+    return _fake_feature(payload)
+
+
+def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table: REAL synthesized WAV tones and BMP
+    gradients plus opaque video bytes (plumbing + real-decoder tests)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "audio":
+            payload = synth_wav(freq_hz=220.0 + 20 * (i % 10),
+                                seconds=0.05 + 0.01 * (i % 5))
+            mime, w, h, dur = "audio/wav", None, None, 50 + 10 * (i % 5)
+        elif kind == "image":
+            w, h = 16 + i % 16, 12 + i % 8
+            payload = synth_bmp(w, h, seed=i)
+            mime, dur = "image/bmp", None
+        else:
+            payload = rng.integers(0, 256, 128 + (i % 64),
+                                   dtype=np.uint8).tobytes()
+            mime, w, h, dur = "video/mp4", 64, 48, 1000 + i
+        rows.append((i, kind, mime, bytearray(payload), w, h, dur))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def extract_features(
@@ -84,19 +248,23 @@ def extract_features(
     mapInPandas (not a scalar UDF) because media work is
     memory-irregular: the iterator form lets one task process many
     small Arrow batches without materializing the whole partition.
+    Per-row failures land in (ok, err) — a corrupt payload can never
+    kill the job.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, oks, errs, hashes = [], [], [], []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+            for payload, kind, mime in zip(
+                pdf["payload"], pdf["kind"], pdf["mime"]
+            ):
                 raw = bytes(payload) if payload is not None else b""
                 hashes.append(hashlib.sha256(raw).hexdigest())
                 try:
-                    feats.append(_decode_stub(raw, kind, fake))
+                    feats.append(decode_features(raw, kind, mime, fake))
                     oks.append(True)
                     errs.append(None)
-                except NotImplementedError as e:
+                except (NotImplementedError, ValueError, struct.error) as e:
                     feats.append(None)
                     oks.append(False)
                     errs.append(str(e)[:120])
@@ -121,8 +289,8 @@ def sample_video_frames(
     df: DataFrame, every_ms: int = 500, fake: bool = True
 ) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
-    timestamp (the decode itself is the stub).  Shows the explode-based
-    fan-out shape a real frame pipeline uses."""
+    timestamp (the mp4 frame decode itself needs ffmpeg — stub/fake).
+    Shows the explode-based fan-out shape a real frame pipeline uses."""
     frames = (
         df.filter(F.col("kind") == "video")
         .withColumn(
