@@ -545,8 +545,14 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (rows-only check; the hard
-    correctness evidence is q_minhash_lsh_recall's oracle)."""
+    """MinHash+LSH near-dup candidate pairs.  Fully oracle-checked
+    since r3: DuckDB replays the ENTIRE pipeline — injective base-257
+    shingle hash from ascii() codes, the (a·x mod 2⁶⁴ + b) mod 2⁶⁴
+    mod p signature arithmetic via HUGEINT, banding by the 4-value
+    signature slice, and the >cap chain fallback — and must produce
+    the identical pair set (reference analog: the exhaustive
+    table-driven parser tests, parsesyslog_test.go:117-257, which pin
+    every value rather than a property)."""
     from go_parsesyslog_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -867,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) WHERE rn <= 3"
         ),
         "lang_id": _lang_id_oracle_sql(),
+        "minhash_lsh_pairs": _minhash_lsh_pairs_oracle_sql(),
         "simhash_fingerprints": (
             # mirrors operators/dedup.simhash exactly: whitespace tokens
             # of lower(trim(text)), 60-bit md5-prefix hash per token
@@ -918,6 +925,66 @@ def oracle_sql() -> dict[str, str]:
             for i in (1, 2, 3)
         ),
     }
+
+
+def _minhash_lsh_pairs_oracle_sql() -> str:
+    """DuckDB replay of operators/dedup.minhash_lsh_pairs, value-exact.
+
+    * Shingle hash: the base-257 byte polynomial is injective for k=5
+      (max < 2^41.3, no uint64 wrap), so ``ascii()`` codes reproduce the
+      numpy hashes bit-for-bit on ASCII text (the driver corpus is pure
+      printable ASCII; non-ASCII would need byte-level extraction).
+    * Signature: h_i(x) = ((a_i·x mod 2⁶⁴) + b_i) mod 2⁶⁴ mod p exactly
+      as the uint64 numpy arithmetic, via HUGEINT; (a_i, b_i) come from
+      the SAME ``_minhash_coeffs`` rng stream the operator uses.
+    * Banding: Spark groups by xxhash64(slice); the oracle groups by the
+      slice VALUE — identical up to xxhash64 collisions (~2⁻⁶⁴/pair).
+    * Mega-buckets: >4096 members emit the sorted-adjacent chain, like
+      the operator.
+
+    Runtime note: the 64 HUGEINT min-aggregates dominate (~25 s at
+    sf0.01) — acceptable for a once-per-round gate."""
+    from go_parsesyslog_spark.operators.dedup import (
+        _MERSENNE,
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(64, 42)
+    w64 = "18446744073709551616"
+    pows = [257 ** j for j in range(5)]
+    window = " + ".join(f"by[i+{j}] * {pows[j]}" for j in range(5))
+    mins = ", ".join(
+        f"min(((({int(a[i])}::HUGEINT * x) % {w64} + {int(b[i])}) % {w64}) "
+        f"% {_MERSENNE})::BIGINT AS m{i}"
+        for i in range(64)
+    )
+    siglist = ", ".join(f"m{i}" for i in range(64))
+    return (
+        "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')) AS t FROM documents), "
+        "byt AS (SELECT doc_id, t, list_transform(generate_series(1, "
+        "length(t)), i -> ascii(t[i])) AS by FROM n), "
+        "sh AS (SELECT doc_id, CASE WHEN length(t) >= 5 "
+        "THEN list_distinct(list_transform(generate_series(1, length(t) - 4), "
+        f"i -> {window})) ELSE [0] END AS s FROM byt), "
+        f"ux AS (SELECT doc_id, unnest(s) % {_MERSENNE} AS x FROM sh), "
+        f"sig AS (SELECT doc_id, [{siglist}] AS sig FROM "
+        f"(SELECT doc_id, {mins} FROM ux GROUP BY doc_id)), "
+        "bands AS (SELECT doc_id, bb.band AS band, "
+        "list_slice(sig, 4*bb.band+1, 4*bb.band+4) AS key FROM sig, "
+        "(SELECT unnest(generate_series(0, 15)) AS band) bb), "
+        "bk AS (SELECT band, key, list_sort(list(doc_id)) AS ids "
+        "FROM bands GROUP BY band, key HAVING count(*) >= 2), "
+        "b2 AS (SELECT row_number() OVER () AS bid, ids, len(ids) AS n "
+        "FROM bk), "
+        "e AS (SELECT bid, n, unnest(ids) AS id, "
+        "unnest(generate_series(1, n)) AS pos FROM b2), "
+        "pairs AS (SELECT x.id AS doc_a, y.id AS doc_b FROM e x JOIN e y "
+        "ON x.bid = y.bid AND x.pos < y.pos AND "
+        "(x.n <= 4096 OR y.pos = x.pos + 1)) "
+        "SELECT DISTINCT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b "
+        "FROM pairs"
+    )
 
 
 def _lang_id_oracle_sql() -> str:

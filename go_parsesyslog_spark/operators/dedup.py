@@ -87,6 +87,16 @@ def _hash_shingles(
     return out
 
 
+def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The (a_i, b_i) hash coefficients — factored out so the SQL
+    oracle generator draws the EXACT same values (same rng stream, same
+    draw order) as the Spark operator."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -105,9 +115,7 @@ def minhash_signatures(
     tests/test_training_ops.py and the minhash_lsh_recall driver oracle
     rather than by the universal-hashing proof.
     """
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+    a, b = _minhash_coeffs(num_hashes, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
