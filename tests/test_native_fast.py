@@ -119,3 +119,20 @@ def test_native_covers_most_canonical_traffic(spark):
     )
     frac = covered.filter("ok").count() / 5000
     assert frac > 0.95, frac
+
+
+def test_native_parse_single_scan(spark):
+    """VERDICT r2 #4: the native engine must scan its input ONCE — the
+    fast and slow branches share one materialized exchange (runtime
+    ReusedExchange), not two independent source scans."""
+    df = generate_transcripts(2000, seed=9, corpus_frac=0.1)
+    sdf = spark.createDataFrame(df[["text"]], "text string")
+    parsed = parse_logs(sdf, fmt="auto", engine="native")
+    parsed.collect()  # materialize THIS plan so AQE finalizes it
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final, final
+    assert final.count("ReusedExchange") >= 1, final
+    # the 16x-per-output-column rlike discriminator must stay a single
+    # materialized projection, not get inlined per reference
+    assert final.count("RLIKE") <= 3, final.count("RLIKE")
