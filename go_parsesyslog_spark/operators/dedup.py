@@ -383,25 +383,40 @@ def simhash(
         lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
     )
 
+    # transient-memory bound (ADVICE r2): the (tokens × 60) ±1 vote
+    # matrix is built int8 (not int64 — 8× smaller) and in doc-aligned
+    # chunks of ≤ ~2M tokens, so a batch of long documents costs ≤
+    # ~126 MB transient instead of gigabytes; reduceat accumulates the
+    # int8 votes into int64 so per-doc sums can never wrap.
+    chunk_tokens = 1 << 21
+
     @F.pandas_udf(T.LongType())
     def vote_udf(hash_arrays: pd.Series) -> pd.Series:
         n = len(hash_arrays)
         lens = np.array([len(a) for a in hash_arrays], dtype=np.int64)
         out = np.zeros(n, dtype=np.int64)
-        nonempty = lens > 0
-        if not nonempty.any():
-            return pd.Series(out)
-        flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in hash_arrays if len(a)]
-        ).astype(np.uint64)
         bits_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
-        pm = (2 * ((flat[:, None] >> bits_idx) & np.uint64(1)).astype(
-            np.int64) - 1)  # (total_tokens, 60) of ±1
-        offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
-        votes = np.add.reduceat(pm, offsets, axis=0)  # (n_nonempty, 60)
-        fp = ((votes > 0).astype(np.uint64) << bits_idx).sum(
-            axis=1).astype(np.int64)
-        out[nonempty] = fp
+        groups, cur, tok = [], [], 0
+        for i in np.flatnonzero(lens > 0):
+            cur.append(int(i))
+            tok += lens[i]
+            if tok >= chunk_tokens:
+                groups.append(cur)
+                cur, tok = [], 0
+        if cur:
+            groups.append(cur)
+        for docs in groups:
+            docs = np.asarray(docs)
+            flat = np.concatenate([
+                np.asarray(hash_arrays.iat[i], dtype=np.int64) for i in docs
+            ]).astype(np.uint64)
+            pm = (2 * ((flat[:, None] >> bits_idx) & np.uint64(1)).astype(
+                np.int8) - 1)  # (chunk_tokens, 60) of ±1, int8
+            offsets = np.concatenate(([0], np.cumsum(lens[docs])[:-1]))
+            votes = np.add.reduceat(pm, offsets, axis=0, dtype=np.int64)
+            fp = ((votes > 0).astype(np.uint64) << bits_idx).sum(
+                axis=1).astype(np.int64)
+            out[docs] = fp
         return pd.Series(out)
 
     return df.withColumn("simhash", vote_udf(tok_hashes))

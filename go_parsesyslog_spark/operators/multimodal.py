@@ -119,6 +119,12 @@ def decode_wav(payload: bytes) -> np.ndarray:
     audio_fmt, n_ch, rate, _, _, bits = fmt
     if audio_fmt != 1 or bits not in (8, 16, 32):
         raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+    # a structurally valid header may still declare rate=0 / 0 channels —
+    # without this check the duration/frequency math divides by zero,
+    # which is NOT in the per-row (ok, err) catch list and would kill
+    # the whole job on one corrupt row (ADVICE r2)
+    if rate <= 0 or n_ch < 1:
+        raise ValueError(f"corrupt WAV header: rate={rate} channels={n_ch}")
     if bits == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128
     elif bits == 16:
@@ -264,7 +270,8 @@ def extract_features(
                     feats.append(decode_features(raw, kind, mime, fake))
                     oks.append(True)
                     errs.append(None)
-                except (NotImplementedError, ValueError, struct.error) as e:
+                except (NotImplementedError, ValueError, struct.error,
+                        ZeroDivisionError) as e:
                     feats.append(None)
                     oks.append(False)
                     errs.append(str(e)[:120])

@@ -277,6 +277,11 @@ def parse_rfc5424_exact(texts: pd.Series) -> pd.DataFrame:
             ver_val = pd.to_numeric(ver_tok.where(ver_ok), errors="coerce")
             err[alive & ~(ver_ok & (ver_val == 1))] = ERR_INVALID_PROTO_VERSION
             alive = err.isna()
+            # stage-scoped snapshot (ADVICE r2): proto_version belongs to
+            # THIS stage — a row failing a later stage (e.g. bad
+            # timestamp) still parsed version 1, and the first-failing-
+            # stage convention keeps fields from succeeded stages set
+            alive_after_version = alive.copy()
         elif i == 1:
             # TIMESTAMP: NILVALUE/empty → unset; else strict RFC3339
             # (:417-433)
@@ -311,7 +316,9 @@ def parse_rfc5424_exact(texts: pd.Series) -> pd.DataFrame:
             err[bad_ts] = ERR_INVALID_TIMESTAMP
             alive = err.isna()
 
-    proto_version = pd.Series(1, index=idx).where(alive).astype("Int32")
+    proto_version = (
+        pd.Series(1, index=idx).where(alive_after_version).astype("Int32")
+    )
     msg_ts = msg_ts.where(alive & ~ts_nil)
     tok_lens = sum(
         pd.to_numeric(t.str.len(), errors="coerce").fillna(0) for t in toks6

@@ -142,6 +142,7 @@ def embedding_near_dup_pairs_exact(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cells: int = 50_000_000,
 ) -> DataFrame:
     """EXACT cosine near-duplicate pairs (sim ≥ threshold, id_a < id_b):
     the verify baseline against which the LSH scale path is pinned.
@@ -151,9 +152,24 @@ def embedding_near_dup_pairs_exact(
     — O(N²·d) flops but vectorized and embarrassingly parallel across
     the left side; per-pair higher-order-function dot products are
     ~50-100× slower (measured 85s vs <2s on 5k×64 at local[32]).
-    Use only when one side fits executor memory (e.g. ≤ a few M × small
-    dim); beyond that, the LSH-bucketed variant below IS the design."""
+
+    SIZE-GUARDED (VERDICT r2 #2): the corpus is collected to the driver
+    and broadcast, so it must fit in memory — above ``max_cells``
+    (rows × dim, default 50M ≈ 400 MB float64) the call REFUSES with a
+    pointer at :func:`embedding_near_dup_pairs`, the LSH-bucketed scale
+    path, instead of OOMing the driver silently-late at scale."""
     spark = df.sparkSession
+    n_rows = df.count()
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if n_rows * max(dim, 1) > max_cells:
+        raise ValueError(
+            f"embedding_near_dup_pairs_exact: corpus {n_rows} rows × "
+            f"{dim} dims = {n_rows * dim} cells exceeds max_cells="
+            f"{max_cells}; this operator collects the corpus to the "
+            "driver and is a verify baseline only — use "
+            "embedding_near_dup_pairs (LSH-bucketed) at scale"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -64,16 +64,55 @@ def write_partitioned(
     """Partitioned table write in the best available format.
 
     Returns the format used so callers (lineage records, tests) can
-    assert on it.  Iceberg path-based tables (HadoopTables) keep the
-    call shape identical to parquet — only the `format` differs."""
+    assert on it.
+
+    The Iceberg branch follows Iceberg's documented path-based
+    (HadoopTables) write contract, fixing two r2 bugs ADVICE caught in
+    the never-exercised code: (a) Spark rejects an explicit
+    ``partitionBy`` when saving through a DSv2 TableProvider — the
+    table's OWN partition spec governs layout, so the spec is declared
+    at table creation instead; (b) the V1 ``save(path)`` cannot CREATE
+    a path-based table — the table is created first through the
+    ``HadoopTables`` API (SparkSchemaUtil schema conversion + identity
+    partition spec), then written with a plain ``save``.
+    CAUTION: still unexercised end-to-end here — no iceberg jar in the
+    sandbox; validate against a real iceberg-spark-runtime first."""
     fmt = sink_format(df.sparkSession)
-    (
-        df.write.format(fmt)
-        .mode(mode)
-        .partitionBy(*partition_cols)
-        .save(path)
-    )
+    if fmt == "iceberg":
+        _ensure_iceberg_path_table(df, path, partition_cols)
+        df.write.format(fmt).mode(mode).save(path)
+    else:
+        (
+            df.write.format(fmt)
+            .mode(mode)
+            .partitionBy(*partition_cols)
+            .save(path)
+        )
     return fmt
+
+
+def _ensure_iceberg_path_table(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Create the path-based Iceberg table (HadoopTables) if missing,
+    with identity partitioning on ``partition_cols``."""
+    spark = df.sparkSession
+    jvm = spark._jvm  # noqa: SLF001
+    tables = jvm.org.apache.iceberg.hadoop.HadoopTables(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    try:
+        tables.load(path)
+        return  # exists
+    except Exception:
+        pass
+    schema = jvm.org.apache.iceberg.spark.SparkSchemaUtil.convert(
+        df._jdf.schema()  # noqa: SLF001
+    )
+    builder = jvm.org.apache.iceberg.PartitionSpec.builderFor(schema)
+    for c in partition_cols:
+        builder = builder.identity(c)
+    tables.create(schema, builder.build(), path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

@@ -137,6 +137,22 @@ def test_truncated_but_stage_invalid_lines():
         assert row.err_code == code, f"{text!r}: {row.err_code} != {code}"
 
 
+def test_proto_version_stage_scoped():
+    """ADVICE r2: a row that passes the version stage but fails a LATER
+    stage keeps proto_version=1 (first-failing-stage sets the fields of
+    every stage that succeeded); rows failing AT or BEFORE the version
+    stage get NULL."""
+    ts_fail = _parse_one("30 <34>1 BADTS ")
+    assert ts_fail.err_code == "invalid_timestamp"
+    assert ts_fail.proto_version == 1
+    ver_fail = _parse_one("7 <34>2 ")
+    assert ver_fail.err_code == "invalid_proto_version"
+    assert ver_fail.proto_version is None or pd.isna(ver_fail.proto_version)
+    pri_fail = _parse_one("9 <999>1 ")
+    assert pri_fail.err_code == "invalid_prio"
+    assert pri_fail.proto_version is None or pd.isna(pri_fail.proto_version)
+
+
 def test_sd_section_at_eof_is_premature():
     """A bracketed SD ending exactly at EOF → post-FSM ReadByte EOF
     (rfc5424.go:341-343)."""

@@ -168,6 +168,17 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert (0, 10_000) in got
 
 
+def test_embedding_exact_refuses_oversized_corpus(spark, emb):
+    """VERDICT r2 #2: the driver-collect verify baseline must refuse
+    above the cell cap and point at the LSH scale path."""
+    from go_parsesyslog_spark.operators.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
+
+    with pytest.raises(ValueError, match="embedding_near_dup_pairs"):
+        embedding_near_dup_pairs_exact(emb, max_cells=10)
+
+
 def test_embedding_near_dups_lsh_vs_exact(spark, emb):
     """The LSH scale path pinned against the exact BLAS baseline: every
     pair the LSH variant reports must be a real ≥-threshold pair (its
@@ -262,6 +273,18 @@ def test_multimodal_real_decoders():
         synth_bmp,
         synth_wav,
     )
+
+    # ADVICE r2: a structurally valid WAV declaring rate=0 must raise
+    # ValueError (catchable per-row), never ZeroDivisionError
+    import struct as _struct
+
+    import pytest as _pytest
+
+    bad = bytearray(synth_wav(freq_hz=440.0, seconds=0.01, rate=8000))
+    fmt_at = bad.find(b"fmt ") + 8
+    bad[fmt_at + 4: fmt_at + 8] = _struct.pack("<I", 0)  # sample_rate = 0
+    with _pytest.raises(ValueError, match="corrupt WAV"):
+        audio_features(bytes(bad))
 
     wav = synth_wav(freq_hz=440.0, seconds=0.5, rate=8000, amplitude=0.5)
     dur, rate, rms, peak, zcr, dom, centroid, mean = audio_features(wav)
