@@ -4,6 +4,7 @@ availableNow triggers and compared against the batch path."""
 
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -213,3 +214,40 @@ def test_streaming_stateful_conv_counters(spark, stream_input, tmp_path_factory)
     )
     joined = final.join(batch_counts, "conv_id")
     assert joined.filter(F.col("turns") != F.col("count")).isEmpty()
+
+
+def test_availablenow_windowed_counts_append_semantics(spark, sf_dir):
+    """The driver-gate streaming query: append mode must emit exactly
+    the windows closed by the end-of-stream watermark (max ts - delay)
+    and WITHHOLD the still-open tail — matching the batch groupBy only
+    on the closed prefix."""
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_windowed_counts,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in availablenow_windowed_counts(spark, path).collect()
+    }
+    ev = spark.read.parquet(path)
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("c")
+    ).collect()[0]["c"]
+    batch = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min(F.date_trunc("hour", "ts")).alias("wt"))
+    )
+    closed = {
+        (r.w, r.event_type): r.n
+        for r in batch.collect()
+        if (r.wt + pd.Timedelta(hours=1)) <= cutoff
+    }
+    n_open = batch.count() - len(closed)
+    assert got == closed
+    assert n_open >= 1  # something was genuinely withheld
