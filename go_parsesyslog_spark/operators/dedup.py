@@ -385,10 +385,11 @@ def simhash(
 
     # transient-memory bound (ADVICE r2): the (tokens × 60) ±1 vote
     # matrix is built int8 (not int64 — 8× smaller) and in doc-aligned
-    # chunks of ≤ ~2M tokens, so a batch of long documents costs ≤
-    # ~126 MB transient instead of gigabytes; reduceat accumulates the
-    # int8 votes into int64 so per-doc sums can never wrap.
-    chunk_tokens = 1 << 21
+    # chunks of ≤ ~512k tokens, so a batch of long documents costs
+    # ≤ ~250 MB transient (the uint64 shift intermediate dominates)
+    # instead of gigabytes; reduceat accumulates the int8 votes into
+    # int64 so per-doc sums can never wrap.
+    chunk_tokens = 1 << 19
 
     @F.pandas_udf(T.LongType())
     def vote_udf(hash_arrays: pd.Series) -> pd.Series:

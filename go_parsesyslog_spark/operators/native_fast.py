@@ -149,12 +149,28 @@ def native_5424_mask(text: Column) -> Column:
     )
 
 
+def groups_str_3164(text: Column) -> Column:
+    """The SEP-joined group string BEFORE the split — the compact wire
+    form parse_logs ships through its single-scan exchange (one string
+    ≈ text bytes; the split array would serialize each group as a
+    separate UnsafeArrayData element, roughly doubling shuffle bytes)."""
+    return F.regexp_replace(text, NATIVE_3164_RE, _TPL3)
+
+
+def groups_str_5424(text: Column) -> Column:
+    return F.regexp_replace(text, NATIVE_5424_RE, _TPL5)
+
+
+def split_groups(s: Column) -> Column:
+    return F.split(s, SEP, -1)
+
+
 def groups_3164(text: Column) -> Column:
-    return F.split(F.regexp_replace(text, NATIVE_3164_RE, _TPL3), SEP, -1)
+    return split_groups(groups_str_3164(text))
 
 
 def groups_5424(text: Column) -> Column:
-    return F.split(F.regexp_replace(text, NATIVE_5424_RE, _TPL5), SEP, -1)
+    return split_groups(groups_str_5424(text))
 
 
 def native_3164_fields(g: Column, ref_now: pd.Timestamp) -> dict:
