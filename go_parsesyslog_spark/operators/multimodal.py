@@ -175,11 +175,148 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode → (h, w, 3) RGB uint8.
+
+    Supports the common web subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace — zlib-inflated
+    IDAT scanlines with all five filter types undone (None/Sub/Up/
+    Average/Paeth).  Sub uses a cumsum along the pixel axis; Average/
+    Paeth are sequential by definition and run a per-pixel loop on the
+    channel vector (fine for feature extraction; this is not a codec
+    library).  Alpha is dropped, gray replicated to RGB."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_i)
+    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={ctype_i} "
+            f"interlace={interlace}"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = raw[y * (stride + 1): (y + 1) * (stride + 1)]
+        ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8)
+        if ftype == 0:
+            cur = row.copy()
+        elif ftype == 1:  # Sub: cumulative sum along the pixel axis
+            px = row.reshape(w, channels).astype(np.int64)
+            cur = (np.cumsum(px, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            cur = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential by spec
+            cur = np.zeros(stride, dtype=np.uint8)
+            for j in range(stride):
+                a = int(cur[j - channels]) if j >= channels else 0
+                b = int(prev[j])
+                if ftype == 3:
+                    cur[j] = (int(row[j]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[j - channels]) if j >= channels else 0
+                    cur[j] = (int(row[j]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 2:
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    else:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+def synth_png(width: int = 16, height: int = 12, seed: int = 0,
+              filters: list[int] | None = None) -> bytes:
+    """Deterministic RGB PNG with a chosen filter type per scanline
+    (default cycles 0..4) — exercises every unfilter path in
+    decode_png."""
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import binascii
+
+        crc = binascii.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", crc
+        )
+
+    stride = width * 3
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        cur = img[y].reshape(-1).astype(np.int64)
+        f = (filters[y % len(filters)] if filters else y % 5)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate(([0, 0, 0], cur[:-3]))
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        else:  # 3 / 4
+            enc = np.zeros(stride, dtype=np.int64)
+            for j in range(stride):
+                a = int(cur[j - 3]) if j >= 3 else 0
+                b = int(prev[j])
+                if f == 3:
+                    enc[j] = (int(cur[j]) - ((a + b) >> 1)) % 256
+                else:
+                    c = int(prev[j - 3]) if j >= 3 else 0
+                    enc[j] = (int(cur[j]) - _paeth(a, b, c)) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def image_features(payload: bytes) -> list[float]:
     """16-dim image feature vector: dims, luma stats, 8-bin histogram,
     plus a 2×2 nearest-neighbor thumbnail of the luma plane (the
-    resize kernel, exercised for real)."""
-    img = decode_bmp(payload)
+    resize kernel, exercised for real).  Dispatches on magic bytes:
+    PNG (pure numpy+zlib) or BMP."""
+    img = (decode_png(payload) if payload[:8] == _PNG_SIG
+           else decode_bmp(payload))
     h, w = img.shape[:2]
     luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
             + 0.114 * img[:, :, 2])
@@ -208,17 +345,20 @@ def _fake_feature(payload: bytes) -> list[float]:
 
 def decode_features(payload: bytes, kind: str, mime: str,
                     fake: bool) -> list[float]:
-    """The codec boundary: real numpy decoders for WAV and BMP; formats
-    needing absent codec libraries (mp4, png, jpeg) either raise (fake
-    =False → per-row err) or yield the deterministic sha256 fake."""
+    """The codec boundary: real numpy decoders for WAV, BMP and PNG
+    (8-bit, non-interlaced — zlib is stdlib, so no codec library is
+    needed); formats genuinely requiring absent codec libraries
+    (mp4/h264, jpeg) either raise (fake=False → per-row err) or yield
+    the deterministic sha256 fake."""
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(payload)
-    if mime in ("image/bmp", "image/x-ms-bmp"):
+    if mime in ("image/bmp", "image/x-ms-bmp", "image/png"):
         return image_features(payload)
     if not fake:
         raise NotImplementedError(
             f"decoding {mime} requires codec libraries not present in "
-            "this environment (PIL/ffmpeg); WAV and BMP decode natively"
+            "this environment (PIL/ffmpeg); WAV, BMP and PNG decode "
+            "natively"
         )
     return _fake_feature(payload)
 

@@ -307,6 +307,45 @@ def test_multimodal_real_decoders():
     assert (resize_nearest(plane, 3, 4) == 5.0).all()
 
 
+def test_png_decode_roundtrip():
+    """PNG decode is REAL (numpy + stdlib zlib): synthesized RGB images
+    encoded with every scanline filter type (None/Sub/Up/Average/Paeth)
+    must decode to the exact source pixel array, and the feature vector
+    must match the BMP path's contract."""
+    import numpy as np
+
+    from go_parsesyslog_spark.operators.multimodal import (
+        decode_png,
+        image_features,
+        synth_png,
+    )
+
+    # per-filter roundtrip: one filter type for every scanline
+    for f in range(5):
+        png = synth_png(13, 9, seed=f, filters=[f])
+        want = np.random.default_rng(f).integers(
+            0, 256, (9, 13, 3), dtype=np.uint8
+        )
+        got = decode_png(png)
+        assert got.shape == (9, 13, 3)
+        assert (got == want).all(), f"filter {f} mismatch"
+    # mixed filters (cycling 0..4) + feature vector shape/pins
+    png = synth_png(16, 12, seed=3)
+    img = decode_png(png)
+    feats = image_features(png)
+    assert feats[0] == 16.0 and feats[1] == 12.0
+    luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+            + 0.114 * img[:, :, 2])
+    assert abs(feats[2] - float(luma.mean()) / 255.0) < 1e-9
+    # corrupt payloads raise ValueError (per-row catchable), never crash
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot really")
+    with _pytest.raises(ValueError):
+        decode_png(png[:40])
+
+
 def test_multimodal_plumbing(spark):
     from go_parsesyslog_spark.operators.multimodal import (
         extract_features,
