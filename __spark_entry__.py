@@ -495,6 +495,30 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_cosine_ivf(spark, sf_dir):
+    """IVF inverted-file ANN through the driver gate: with
+    n_probe = n_cells every cell is probed, so the result is provably
+    the exact brute-force top-k (same DuckDB oracle as ann_cosine_topk)
+    while the plan exercises the real IVF machinery — driver-trained
+    k-means centroids, matmul cell assignment, per-cell equi-join.
+    Reducing n_probe is the documented recall/cost knob at scale."""
+    from go_parsesyslog_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_ivf(
+        emb, q, dim=64, k=3, n_cells=8, n_probe=8, seed=42
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("sim", 3).alias("cosine_sim"),
+    )
+
+
 def q_quality_features(spark, sf_dir):
     """Text-quality features (integer counts — exact across engines)."""
     docs = _t(spark, sf_dir, "documents")
@@ -712,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         "quality_features": q_quality_features,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
@@ -888,6 +913,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
         ),
         "ann_cosine_topk": (
+            "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
+            "neighbor_id::BIGINT AS neighbor_id, round(sim, 3) AS cosine_sim FROM ("
+            "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rn "
+            "FROM embeddings q, embeddings e "
+            "WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) WHERE rn <= 3"
+        ),
+        "ann_cosine_ivf": (
+            # identical to ann_cosine_topk: with n_probe = n_cells the
+            # IVF result IS the exact brute-force top-k
             "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
             "neighbor_id::BIGINT AS neighbor_id, round(sim, 3) AS cosine_sim FROM ("
             "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "

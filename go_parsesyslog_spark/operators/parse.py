@@ -206,15 +206,25 @@ def parse_logs(
     # only, after the exchange (a fast-branch-only column in `staged`
     # would be pruned from the slow subtree and the two exchanges would
     # no longer canonicalize equal).
-    spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    staged = staged.repartition(n_parts, F.xxhash64(F.col(text_col)))
-    barrier_col = "_s3" if want3 else "_s5"
-    nd2 = ~F.isnan(F.rand(43))
-    staged = staged.withColumn(
-        barrier_col,
-        F.when(nd2, F.col(barrier_col)).otherwise(F.col(barrier_col)),
-    )
+    # Cost model, measured (BENCH/BASELINE.md): the exchange trades CPU
+    # (serialize + compress ~2× text bytes) for halving SOURCE reads.
+    # On ≥8 cores the overhead is ~15% CPU for 2× less scan — a clear
+    # win whenever storage bandwidth is the scarce resource (any real
+    # 100 TB cluster).  On 1-2 cores the exchange I/O serializes on the
+    # same cores that parse and costs ~2×, so tiny deployments can set
+    # SPARK_GRAFT_PARSE_SINGLE_SCAN=0 to fall back to the double-scan
+    # plan (source read twice, regex run twice, no exchange).
+    single_scan = os.environ.get("SPARK_GRAFT_PARSE_SINGLE_SCAN", "1") != "0"
+    if single_scan:
+        spark = df.sparkSession
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        staged = staged.repartition(n_parts, F.xxhash64(F.col(text_col)))
+        barrier_col = "_s3" if want3 else "_s5"
+        nd2 = ~F.isnan(F.rand(43))
+        staged = staged.withColumn(
+            barrier_col,
+            F.when(nd2, F.col(barrier_col)).otherwise(F.col(barrier_col)),
+        )
     # the exchange ships the compact SEP-joined group STRING (≈ text
     # bytes); the split into the group array happens here, once per
     # branch, post-exchange (split is cheap; the regex is what must not

@@ -1,19 +1,26 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two strategies:
+Three strategies:
 
 * **brute-force cosine top-k** — correct baseline.  The query side is
   broadcast; dot products run JVM-side (zip_with/aggregate → whole-stage
   codegen), so the cross join is a single narrow pass over the corpus:
   cost O(N·Q·d) flops with zero Python.
-* **LSH-bucketed ANN (random hyperplanes)** — the scale path: each
+* **LSH-bucketed ANN (random hyperplanes)** — a scale path: each
   vector is signed against ``n_planes`` fixed random hyperplanes →
   ``n_tables`` bucket keys; neighbors are only scored within shared
   buckets.  At 100 TB this turns the O(N·Q) cross join into a bucket
   co-partitioned join whose cost follows the bucket occupancy.
+* **IVF (inverted-file) ANN** — the other classic scale path: k-means
+  centroids trained driver-side on a bounded sample, corpus vectors
+  assigned to their nearest centroid (one matmul per Arrow batch),
+  queries probed against their ``n_probe`` nearest centroid lists only.
+  Corpus cost per query drops from O(N) to O(N·n_probe/n_cells) with a
+  recall/probe knob, and the per-cell join is an equi-join Spark
+  shuffles like any other key.
 
-The embedding → numpy path for the hyperplane signatures is a
-vectorized pandas UDF (one matmul per Arrow batch).
+The embedding → numpy paths (hyperplane signatures, centroid
+assignment) are vectorized pandas UDFs (one matmul per Arrow batch).
 """
 
 from __future__ import annotations
@@ -121,6 +128,110 @@ def cosine_topk_lsh(
     q_k = q.select(query_id_col, "_qv", F.explode("lsh_keys").alias("bkey"))
     cand = (
         c_k.join(q_k, "bkey")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(id_col, vec_col, query_id_col, "_qv")
+        .distinct()
+    )
+    sim = _dot(F.col(vec_col), F.col("_qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), id_col)
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"), "sim")
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """K-means (Lloyd) coarse quantizer for IVF, trained driver-side on
+    a BOUNDED reservoir of the corpus (``sample_rows`` rows via
+    ``limit`` on a seeded shuffle-free sample) — the standard IVF
+    recipe: training touches a sample, assignment touches everything
+    distributed.  Deterministic: fixed seed for init and a fixed
+    iteration count.  Returns (n_cells, dim) float32, L2-normalized so
+    nearest-centroid-by-dot-product == nearest-by-cosine."""
+    frac_df = df.select(vec_col).limit(sample_rows).toPandas()
+    mat = np.stack(frac_df[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(mat))
+    cents = mat[rng.choice(len(mat), n_cells, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.astype(np.float32)
+
+
+def _cell_assign_udf(cents: np.ndarray, top: int):
+    """pandas UDF: each vector's ``top`` nearest centroid ids (by cosine
+    — centroids are unit-norm so one matmul per Arrow batch)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        sims = mat @ cents.T.astype(np.float64)  # (batch, n_cells)
+        k = min(top, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # order the probed cells best-first (deterministic)
+        row = np.arange(len(mat))[:, None]
+        order = np.argsort(-sims[row, idx], axis=1, kind="stable")
+        return pd.Series(list(idx[row, order].astype(np.int32)))
+
+    return assign
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via an inverted file: corpus rows live in their
+    single nearest-centroid cell; each query scores only the rows in its
+    ``n_probe`` nearest cells.  The cell id is a plain join key, so at
+    100 TB this is one equi-join shuffled on ``cell`` (uniformity
+    follows the quantizer; heavily clustered corpora → raise
+    ``n_cells``), never a cross join.  Recall is tunable with
+    ``n_probe`` (= ``n_cells`` → exact, equals brute force)."""
+    cents = (centroids if centroids is not None
+             else train_ivf_centroids(corpus, dim, n_cells,
+                                      vec_col, seed=seed))
+    c_assign = _cell_assign_udf(cents, 1)
+    q_assign = _cell_assign_udf(cents, min(n_probe, len(cents)))
+    c_k = corpus.select(
+        id_col, vec_col, F.element_at(c_assign(F.col(vec_col)), 1).alias("cell")
+    )
+    q_k = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv"),
+        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        c_k.join(q_k, "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(id_col, vec_col, query_id_col, "_qv")
         .distinct()

@@ -152,6 +152,43 @@ def test_ann_lsh_vs_bruteforce_recall(spark, emb):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_ann_ivf_vs_bruteforce(spark, emb):
+    """IVF: probing ALL cells must equal brute force exactly (the
+    correctness anchor); probing a few cells keeps useful recall at a
+    fraction of the scored candidates (the scale knob)."""
+    from go_parsesyslog_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    cents = train_ivf_centroids(emb, dim=64, n_cells=8)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            emb, queries, dim=64, k=5, n_cells=8, n_probe=8,
+            centroids=cents,
+        ).collect()
+    }
+    assert full == exact  # n_probe = n_cells ⇒ brute force
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            emb, queries, dim=64, k=5, n_cells=8, n_probe=4,
+            centroids=cents,
+        ).collect()
+    }
+    recall = len(exact & probed) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     from go_parsesyslog_spark.operators.similarity import (
         embedding_near_dup_pairs,
