@@ -645,6 +645,29 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("sim", 3).alias("sim"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING through the driver gate: exact-verified LSH
+    pairs (J >= 0.9) -> iterative min-label connected components ->
+    (doc_id, canonical_id).  The iterative distributed algorithm is
+    checked against a DuckDB RECURSIVE CTE computing min-reachable-id
+    over the brute-force all-pairs J >= 0.9 graph (equal to the LSH
+    pair graph by the recall property the recall query pins)."""
+    from go_parsesyslog_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_jaccard_pairs(
+        docs, num_hashes=64, bands=16, threshold=(9, 10)
+    )
+    out = dedup_clusters(docs, pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
 def q_multi_message_split(spark, sf_dir):
     """ParseReader-over-a-stream analog (rfc5424_test.go:147-153,
     README.md:17-22): each event carries a blob of 3 newline-delimited
@@ -742,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_recall": q_minhash_lsh_recall,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
         "multi_message_split": q_multi_message_split,
@@ -953,6 +977,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id::BIGINT AS doc_id, "
             "coalesce(fp.simhash, 0)::BIGINT AS simhash "
             "FROM documents d LEFT JOIN fp USING (doc_id)"
+        ),
+        "dedup_clusters": (
+            # recursive min-reachable-id over the brute-force J>=0.9
+            # near-dup graph (same shingle arithmetic as the recall
+            # oracle); singletons are their own canonical id
+            "WITH RECURSIVE "
+            "n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) AS t FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, length(t) - 4), i -> "
+            "('0x' || substr(md5(substring(t, i, 5)), 1, 15))::BIGINT)) "
+            "AS sh FROM n WHERE length(t) >= 5), "
+            "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0 AND "
+            "len(list_intersect(a.sh, b.sh)) * 10 >= "
+            "len(list_distinct(list_concat(a.sh, b.sh))) * 9), "
+            "e AS (SELECT pa AS a, pb AS b FROM p "
+            "UNION SELECT pb, pa FROM p), "
+            "reach(node, lbl) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node) "
+            "SELECT node::BIGINT AS doc_id, min(lbl)::BIGINT AS "
+            "canonical_id FROM reach GROUP BY node"
         ),
         "minhash_lsh_recall": (
             # brute-force all-pairs exact 5-shingle Jaccard ≥ 0.9 over the

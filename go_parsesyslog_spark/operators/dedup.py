@@ -360,6 +360,74 @@ def minhash_lsh_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    ``(doc_id, canonical_id)`` where canonical_id = min doc id of the
+    component (singletons map to themselves).  The clustering step that
+    turns pairwise near-dup evidence into KEEP/DROP decisions for a
+    training corpus.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels:
+
+        labels ← min(labels, min over edges of neighbor label)
+
+    Pure DataFrame joins/aggregations per round (each is one shuffle on
+    ``node``); rounds needed = graph diameter ≤ O(log n) for the
+    clustered graphs LSH produces (near-dup components are dense).  The
+    loop stops as soon as a round changes nothing — the convergence
+    check is a count of changed labels (cheap: labels are narrow).  At
+    100 TB scale this is the standard GraphX-free connected-components
+    shape; every round's join keys are node ids, so AQE handles skew.
+
+    Exactly SQL-reproducible: a recursive CTE computing min reachable
+    id is the DuckDB oracle (driver query ``dedup_clusters``)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "lbl", F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        # materialize each round: truncates the exponentially growing
+        # lineage AND lets the convergence check reuse the same result
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.join(new_labels.withColumnRenamed("lbl", "lbl2"), "node")
+            .filter(F.col("lbl") != F.col("lbl2"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("canonical_id")
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex digits of md5 → fits a signed BIGINT exactly
 
 

@@ -80,3 +80,33 @@ def test_multibyte_frame_lengths(spark):
     rows = split_messages(df, fmt="rfc5424").orderBy("msg_idx").collect()
     assert len(rows) == 3
     assert all(r["text"] == framed for r in rows)
+
+
+def test_read_syslog_lines_and_octet(spark, tmp_path):
+    """File-based source: newline-framed files split per line (scalable
+    path); octet-framed files go whole-file through the byte-accurate
+    frame splitter — including a message CONTAINING a newline, which
+    line splitting would corrupt."""
+    from go_parsesyslog_spark.sources.rawlog import read_syslog
+
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    (lines_dir / "a.log").write_text(
+        "<34>Oct 11 22:14:15 h1 app1: one\n<35>Oct 11 22:14:16 h2 app2: two\n"
+    )
+    out = read_syslog(spark, str(lines_dir), framing="lines")
+    rows = {r["message"]: r for r in out.collect()}
+    assert set(rows) == {"one", "two"}
+    assert rows["one"]["priority"] == 34
+    assert rows["one"]["source_file"].endswith("a.log")
+
+    octet_dir = tmp_path / "octet"
+    octet_dir.mkdir()
+    m1 = "<34>1 2024-01-02T03:04:05Z h a p m - body with\nnewline"
+    m2 = "<35>1 2024-01-02T03:04:06Z h a p m - second"
+    (octet_dir / "b.log").write_text(
+        f"{len(m1.encode())} {m1}{len(m2.encode())} {m2}"
+    )
+    out2 = read_syslog(spark, str(octet_dir), framing="octet")
+    msgs = sorted(r["message"] for r in out2.collect())
+    assert msgs == ["body with\nnewline", "second"], msgs

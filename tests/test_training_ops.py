@@ -103,6 +103,24 @@ def test_minhash_lsh_jaccard_pairs_matches_bruteforce(spark, docs_with_dups):
     assert len(got) >= 3  # the planted exact dups at least
 
 
+def test_dedup_clusters_transitive(spark):
+    """Connected components must follow TRANSITIVE chains (a-b, b-c ⇒
+    one cluster labelled by the min id), and leave singletons alone."""
+    from go_parsesyslog_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 6: 2, 4: 4}
+
+
 def test_lsh_bucket_stats_under_cap(spark, docs_with_dups):
     """ADVICE r2: the chain fallback silently degrades completeness —
     this audit surface must show every bucket under the cap at test
