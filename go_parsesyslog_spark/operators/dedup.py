@@ -403,6 +403,10 @@ def dedup_clusters(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the changed-flag rides the same projection (no second join);
+        # materializing each round truncates the exponentially growing
+        # lineage, and the convergence probe reads the checkpointed
+        # result with limit(1) — it stops at the first changed row
         new_labels = (
             labels.join(neigh, "node", "left")
             .select(
@@ -410,17 +414,13 @@ def dedup_clusters(
                 F.least(
                     "lbl", F.coalesce("nlbl", F.col("lbl"))
                 ).alias("lbl"),
+                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl"))
+                .alias("chg"),
             )
+            .localCheckpoint(eager=True)
         )
-        # materialize each round: truncates the exponentially growing
-        # lineage AND lets the convergence check reuse the same result
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            labels.join(new_labels.withColumnRenamed("lbl", "lbl2"), "node")
-            .filter(F.col("lbl") != F.col("lbl2"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     return labels.select(
