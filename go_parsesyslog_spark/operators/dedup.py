@@ -393,10 +393,16 @@ def dedup_clusters(
             pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
         .distinct()
+        .localCheckpoint(eager=False)  # reused every round — compute once
     )
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    )
+    # Only nodes that appear in the pair graph can ever change label —
+    # in a real corpus the overwhelming majority of docs are singletons,
+    # so the iteration runs on the (small) connected subgraph and the
+    # untouched docs are unioned back at the end.  At 100 TB this is the
+    # difference between iterating on near-dup clusters and iterating on
+    # the whole corpus.
+    connected = edges.select(F.col("a").alias("node")).distinct()
+    labels = connected.withColumn("lbl", F.col("node"))
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.a == labels.node)
@@ -423,8 +429,12 @@ def dedup_clusters(
         labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
-    return labels.select(
-        F.col("node").alias(id_col), F.col("lbl").alias("canonical_id")
+    singletons = docs.select(F.col(id_col).alias("node")).join(
+        connected, "node", "left_anti"
+    )
+    return (
+        labels.unionByName(singletons.withColumn("lbl", F.col("node")))
+        .select(F.col("node").alias(id_col), F.col("lbl").alias("canonical_id"))
     )
 
 
