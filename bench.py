@@ -321,7 +321,10 @@ def scaling() -> None:
         "scaling_efficiency_8_to_32_host_limited": round(eff_8_32, 3),
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md is the curated multi-run evidence doc (r3:
+    # repeated runs + controls) — a single automated pair must not
+    # clobber it, so machine output lands in SCALING_LATEST.md
+    with open("BENCH/SCALING_LATEST.md", "w") as f:
         f.write(
             "# BENCH — measured pipeline throughput & scaling\n\n"
             "End-to-end parse→enrich→route→aggregate over the seeded "
