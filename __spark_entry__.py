@@ -629,6 +629,25 @@ def q_simhash_fingerprints(spark, sf_dir):
     )
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """Simhash near-dup PAIRS (Hamming <= 3 via 15-bit-block pigeonhole
+    + exact popcount verify).  Pigeonhole is exact for k < blocks: any
+    pair within Hamming 3 of the 60-bit fingerprint must agree on one of
+    the four 15-bit blocks, so candidates are a provable superset and
+    the verified output EQUALS the brute-force all-pairs answer — which
+    is what the DuckDB oracle computes (xor + bit_count over the same
+    fingerprints)."""
+    from go_parsesyslog_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_near_dup_pairs(docs, hamming_k=3)
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (sim ≥ 0.9): broadcast
     corpus matrix + per-batch BLAS matmul (mapInPandas) — the verify
@@ -767,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_recall": q_minhash_lsh_recall,
         "dedup_clusters": q_dedup_clusters,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "multi_message_split": q_multi_message_split,
         "streaming_hourly_counts": q_streaming_hourly_counts,
@@ -1002,6 +1022,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node) "
             "SELECT node::BIGINT AS doc_id, min(lbl)::BIGINT AS "
             "canonical_id FROM reach GROUP BY node"
+        ),
+        "simhash_near_dups": (
+            # brute-force all-pairs Hamming <= 3 over the same
+            # fingerprints the simhash_fingerprints oracle derives
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "lower(trim(text)), '\\s+')) AS tok FROM documents), "
+            "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT "
+            "AS h FROM toks WHERE tok <> ''), "
+            "bits AS (SELECT doc_id, b AS bit, "
+            "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM h, (SELECT unnest(generate_series(0, 59)) AS b) "
+            "GROUP BY doc_id, b), "
+            "fpx AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) "
+            "ELSE 0 END) AS simhash FROM bits GROUP BY doc_id), "
+            "fp AS (SELECT d.doc_id, coalesce(fpx.simhash, 0) AS simhash "
+            "FROM documents d LEFT JOIN fpx USING (doc_id)) "
+            "SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b, "
+            "bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming "
+            "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "minhash_lsh_recall": (
             # brute-force all-pairs exact 5-shingle Jaccard ≥ 0.9 over the

@@ -463,11 +463,14 @@ def simhash(
 
     # transient-memory bound (ADVICE r2): the (tokens × 60) ±1 vote
     # matrix is built int8 (not int64 — 8× smaller) and in doc-aligned
-    # chunks of ≤ ~512k tokens, so a batch of long documents costs
-    # ≤ ~250 MB transient (the uint64 shift intermediate dominates)
-    # instead of gigabytes; reduceat accumulates the int8 votes into
-    # int64 so per-doc sums can never wrap.
-    chunk_tokens = 1 << 19
+    # chunks, so a batch of long documents costs bounded transients;
+    # reduceat accumulates the int8 votes into int64 so per-doc sums
+    # can never wrap.  The chunk is deliberately SMALL (32k tokens →
+    # ~15 MB uint64 shift intermediate): large transient allocations
+    # (hundreds of MB) measured 100× slower on THP/compaction-stalling
+    # hosts (11.4 s vs 0.10 s for the identical 250k-token batch), and
+    # small chunks cost nothing anywhere.
+    chunk_tokens = 1 << 15
 
     @F.pandas_udf(T.LongType())
     def vote_udf(hash_arrays: pd.Series) -> pd.Series:
@@ -506,7 +509,18 @@ def simhash_near_dup_pairs(
     hamming_k: int = 3,
 ) -> DataFrame:
     """Near-dup candidates with Hamming distance ≤ k via pigeonhole on
-    (k+1) 15-bit blocks of the 60-bit simhash; verified by popcount."""
+    (k+1) 15-bit blocks of the 60-bit simhash; verified by popcount.
+
+    BUCKET-LOCAL verify (same shape as minhash_lsh_jaccard_pairs):
+    template-heavy corpora make the block buckets quadratic within
+    near-dup clusters, and evaluating those candidates as a JVM
+    self-join costs ~50-100 ns of row machinery per candidate (measured
+    22 s at sf0.1).  Grouping each (block_idx, block_val) bucket into
+    one applyInPandas call evaluates the m×m XOR + popcount as three
+    numpy broadcasts (~1 ns/pair) and emits only pairs ≤ k; only one
+    narrow fingerprint row per doc per block crosses the shuffle
+    (measured 22 s → ~4 s).  Pigeonhole exactness is unchanged: every
+    pair within Hamming k shares some block, i.e. some bucket."""
     h = simhash(df, text_col).select(id_col, "simhash")
     blocks = h.select(
         id_col,
@@ -520,26 +534,71 @@ def simhash_near_dup_pairs(
             ])
         ).alias("block_idx", "block_val"),
     )
-    cand = (
-        blocks.alias("x")
-        .join(
-            blocks.alias("y"),
-            (F.col("x.block_idx") == F.col("y.block_idx"))
-            & (F.col("x.block_val") == F.col("y.block_val"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("doc_a", id_type),
+        T.StructField("doc_b", id_type),
+        T.StructField("hamming", T.LongType()),
+    ])
+    # byte-wise popcount table — numpy<2 has no bitwise_count
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def verify_bucket(ids, fps, out_a, out_b, out_h):
+        m = len(ids)
+        # row-chunks bound the m×m XOR matrix to ≤ chunk×m uint64;
+        # ~1M cells ≈ 8 MB keeps transients below the THP/compaction
+        # stall regime (see vote_udf chunking note)
+        chunk = max(1, min(m, 1_000_000 // max(m, 1) + 1))
+        for s in range(0, m, chunk):
+            x = fps[s: s + chunk, None] ^ fps[None, :]
+            ham = pop8[x.view(np.uint8)].reshape(*x.shape, 8).sum(
+                axis=-1, dtype=np.int64
+            )
+            ii, jj = np.nonzero(ham <= hamming_k)
+            keep = (ii + s) < jj  # upper triangle in global indices
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+            out_h.append(ham[ii[keep], jj[keep]])
+
+    # ONE Python call per coarse group, not per bucket: applyInPandas
+    # pays ~1 ms of per-group machinery, and template corpora produce
+    # tens of thousands of tiny buckets (measured 20 s of pure group
+    # overhead at sf0.1).  Buckets are recovered inside the call with a
+    # lexsort + boundary scan — per-bucket cost drops to ~50 µs.
+    def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi = pdf["block_idx"].to_numpy(dtype=np.int64)
+        bv = pdf["block_val"].to_numpy(dtype=np.int64)
+        ids_all = pdf[id_col].to_numpy()
+        fps_all = pdf["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids_all, bv, bi))
+        bi, bv = bi[order], bv[order]
+        ids_all, fps_all = ids_all[order], fps_all[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], (np.diff(bi) != 0) | (np.diff(bv) != 0)))
         )
-        .select(
-            F.col(f"x.{id_col}").alias("doc_a"),
-            F.col(f"y.{id_col}").alias("doc_b"),
-            F.col("x.simhash").alias("h_a"),
-            F.col("y.simhash").alias("h_b"),
-        )
-        .distinct()
+        bounds = np.append(bounds, len(bi))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                verify_bucket(ids_all[s:e], fps_all[s:e],
+                              out_a, out_b, out_h)
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a) if out_a else [],
+            "doc_b": np.concatenate(out_b) if out_b else [],
+            "hamming": np.concatenate(out_h).astype(np.int64)
+            if out_h else [],
+        })
+
+    n_groups = 4 * int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= hamming_k
-    ).select("doc_a", "doc_b", "hamming")
+    grouped = blocks.withColumn(
+        "grp", F.pmod(F.xxhash64("block_idx", "block_val"), F.lit(n_groups))
+    )
+    buckets = grouped.groupBy("grp").applyInPandas(
+        lambda _k, pdf: verify_group(pdf), out_schema
+    )
+    return buckets.distinct()
 
 
 def ngram_jaccard(
