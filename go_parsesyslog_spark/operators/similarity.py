@@ -297,21 +297,28 @@ def embedding_near_dup_pairs_exact(
 
     def gen(batches):
         rid, rmat, rnorm = b_ids.value, b_mat.value, b_norms.value
+        # row-chunk so the (chunk × corpus) sims matrix stays ~16 MB:
+        # multi-hundred-MB numpy transients stall ~100× on THP/
+        # compaction-prone hosts (measured; see dedup.py vote_udf note)
+        chunk = max(1, 2_000_000 // max(len(rid), 1))
         for pdf_in in batches:
             if not len(pdf_in):
                 continue
-            lid = pdf_in[id_col].to_numpy()
-            lmat = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
-            lnorm = np.linalg.norm(lmat, axis=1)
-            sims = (lmat @ rmat.T) / np.outer(lnorm, rnorm)
-            li, ri = np.where(
-                (sims >= threshold) & (lid[:, None] < rid[None, :])
-            )
-            yield pd.DataFrame({
-                "id_a": lid[li].astype(np.int64),
-                "id_b": rid[ri].astype(np.int64),
-                "sim": sims[li, ri],
-            })
+            lid_all = pdf_in[id_col].to_numpy()
+            lmat_all = np.stack(pdf_in[vec_col].to_numpy()).astype(np.float64)
+            for s in range(0, len(lid_all), chunk):
+                lid = lid_all[s: s + chunk]
+                lmat = lmat_all[s: s + chunk]
+                lnorm = np.linalg.norm(lmat, axis=1)
+                sims = (lmat @ rmat.T) / np.outer(lnorm, rnorm)
+                li, ri = np.where(
+                    (sims >= threshold) & (lid[:, None] < rid[None, :])
+                )
+                yield pd.DataFrame({
+                    "id_a": lid[li].astype(np.int64),
+                    "id_b": rid[ri].astype(np.int64),
+                    "sim": sims[li, ri],
+                })
 
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
