@@ -136,9 +136,21 @@ def decode_wav(payload: bytes) -> np.ndarray:
     return x, rate
 
 
+AUDIO_FEATURE_MAX_SAMPLES = 1 << 22  # ~95 s @ 44.1 kHz
+
+
 def audio_features(payload: bytes) -> list[float]:
-    """8-dim audio feature vector from a PCM WAV payload."""
+    """8-dim audio feature vector from a PCM WAV payload.
+
+    The spectral features analyze at most ``AUDIO_FEATURE_MAX_SAMPLES``
+    samples (~95 s at 44.1 kHz): an hour-long capture would otherwise
+    allocate GB-scale FFT transients inside the UDF (the
+    memory-stall regime documented in dedup.py) — and 4M samples
+    already pin dominant frequency/centroid for feature purposes.
+    The DURATION feature still reflects the full payload."""
     x, rate = decode_wav(payload)
+    full_n = len(x)
+    x = x[:AUDIO_FEATURE_MAX_SAMPLES]
     n = len(x)
     if n == 0:
         return [0.0] * 8
@@ -149,7 +161,7 @@ def audio_features(payload: bytes) -> list[float]:
     freqs = np.fft.rfftfreq(n, d=1.0 / rate)
     dom = float(freqs[int(np.argmax(spec[1:])) + 1]) if len(spec) > 1 else 0.0
     centroid = float((freqs * spec).sum() / max(spec.sum(), 1e-12))
-    return [n / rate, float(rate), rms, peak, zcr, dom, centroid,
+    return [full_n / rate, float(rate), rms, peak, zcr, dom, centroid,
             float(np.mean(x))]
 
 

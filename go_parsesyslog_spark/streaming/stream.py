@@ -122,6 +122,7 @@ def stream_windowed_metrics(
 
 
 _memory_sink_counter = 0
+_last_memory_sink: str | None = None
 
 
 def availablenow_windowed_counts(
@@ -145,9 +146,18 @@ def availablenow_windowed_counts(
     — SQL-expressible, which is what makes the DuckDB oracle possible.
     Windows still open at end-of-stream are withheld (true streaming
     semantics, not a batch shortcut)."""
-    global _memory_sink_counter
+    global _memory_sink_counter, _last_memory_sink
     _memory_sink_counter += 1
     name = f"stream_windowed_counts_{_memory_sink_counter}"
+    if _last_memory_sink is not None:
+        # each run needs a fresh sink table, but keeping every previous
+        # one alive would grow driver memory without bound in loops
+        # (bench runs this twice per invocation)
+        try:
+            spark.catalog.dropTempView(_last_memory_sink)
+        except Exception:
+            pass
+    _last_memory_sink = name
     schema = spark.read.parquet(events_path).schema
     # the file stream source requires a directory or a glob — turn a
     # single-file path into a glob matching exactly that file
