@@ -687,6 +687,83 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_read_syslog_lines(spark, sf_dir):
+    """A4/CLI analog through the driver gate: raw wire-format syslog
+    FILES on disk → ``read_syslog`` (spark.read.text, line framing,
+    splittable at 100 TB) → full RFC3164 parse — the reference's
+    real-world shape (cmd/stdin-parser/main.go:20 reads a raw stream,
+    not a table column).  The files are materialized once per sf_dir
+    from the events table with the same deterministic arithmetic the
+    rfc3164_parse oracle replays, so the oracle is the identical field
+    reconstruction; event identity is recovered from the message tail
+    (files have no row ids — ordering is carried in-band, exactly like
+    real log shipping)."""
+    import os
+
+    from go_parsesyslog_spark.functions.priority import (
+        facility_name,
+        severity_name,
+    )
+    from go_parsesyslog_spark.sources.rawlog import read_syslog
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/gps_rawlog_{tag}"
+    marker = os.path.join(path, "_GPS_COMPLETE")
+    if not os.path.exists(marker):
+        ev = _with_rfc3164_text(_t(spark, sf_dir, "events"))
+        ev.select("text").write.mode("overwrite").text(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    p = read_syslog(spark, path, fmt="rfc3164", framing="lines",
+                    ref_now=REF_NOW)
+    return p.select(
+        F.regexp_extract("message", r"#(\d+)$", 1).cast("long")
+        .alias("event_id"),
+        F.col("priority").cast("long").alias("priority"),
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        facility_name(F.col("facility")).alias("facility_name"),
+        severity_name(F.col("severity")).alias("severity_name"),
+        "host",
+        "app",
+        "pid",
+        "message",
+        F.col("msg_length").cast("long").alias("msg_length"),
+        F.date_format("msg_ts", "yyyy-MM-dd HH:mm:ss").alias("msg_ts_str"),
+    )
+
+
+def q_ann_ivf_reduced_probe(spark, sf_dir):
+    """REDUCED-probe IVF ANN (n_probe=2 of 8 cells) — the oracle grades
+    the APPROXIMATION, not just the machinery (VERDICT r3 #4): the
+    quantizer is the fixed-seed data-independent centroid set
+    (similarity.fixed_random_centroids), fully reconstructible outside
+    Spark, and the DuckDB oracle inlines those centroids as literals and
+    replays cell assignment (argmax inner product, lowest-cell
+    tie-break), 2-cell probing, and the per-cell top-k — so the
+    expected neighbor set is the true reduced-probe answer, not the
+    brute-force one."""
+    from go_parsesyslog_spark.operators.similarity import (
+        cosine_topk_ivf,
+        fixed_random_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = fixed_random_centroids(8, 64, seed=7)
+    out = cosine_topk_ivf(
+        emb, q, dim=64, k=3, n_cells=8, n_probe=2, centroids=cents
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("sim", 3).alias("cosine_sim"),
+    )
+
+
 def q_multi_message_split(spark, sf_dir):
     """ParseReader-over-a-stream analog (rfc5424_test.go:147-153,
     README.md:17-22): each event carries a blob of 3 newline-delimited
@@ -789,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "multi_message_split": q_multi_message_split,
+        "read_syslog_lines": q_read_syslog_lines,
+        "ann_ivf_reduced_probe": q_ann_ivf_reduced_probe,
         "streaming_hourly_counts": q_streaming_hourly_counts,
     }
 
@@ -1079,6 +1158,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE w + INTERVAL 1 HOUR <= "
             "(SELECT max(ts) - INTERVAL 30 MINUTE FROM events)"
         ),
+        # identical field reconstruction as rfc3164_parse: the raw-file
+        # round-trip (write wire lines → spark.read.text → parse) must
+        # lose nothing
+        "read_syslog_lines": f"SELECT {_SQL_3164_FIELDS} FROM events",
+        "ann_ivf_reduced_probe": _ann_ivf_reduced_probe_oracle_sql(),
         "multi_message_split": " UNION ALL ".join(
             "SELECT event_id::BIGINT AS event_id, "
             f"{i - 1}::BIGINT AS msg_idx, "
@@ -1087,6 +1171,58 @@ def oracle_sql() -> dict[str, str]:
             for i in (1, 2, 3)
         ),
     }
+
+
+def _ann_ivf_reduced_probe_oracle_sql() -> str:
+    """DuckDB replay of the reduced-probe IVF path with the SAME
+    fixed-seed centroids inlined as literals (float32 values — exact as
+    doubles, so ``repr`` round-trips them bit-for-bit):
+
+    1. every corpus vector's HOME cell = argmax inner product against
+       the 8 centroids (normalization skipped: argmax is invariant
+       under the positive per-vector norm; centroids are unit-norm on
+       both sides), lowest cell on ties;
+    2. each query's 2 PROBED cells = the top-2 of the same ranking;
+    3. candidates = corpus rows whose home cell is probed, minus self;
+    4. exact cosine top-3 within candidates (desc sim, asc neighbor).
+
+    This is the true reduced-probe answer — a neighbor whose home cell
+    is not probed is absent from BOTH engines, so the hash match grades
+    the approximation itself."""
+    from go_parsesyslog_spark.operators.similarity import (
+        fixed_random_centroids,
+    )
+
+    cents = fixed_random_centroids(8, 64, seed=7)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in cents[i])
+        )
+        for i in range(len(cents))
+    )
+    rank_sql = (
+        "SELECT e.vec_id, e.embedding, c.cell, "
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        "list_inner_product(e.embedding::DOUBLE[], c.cv) DESC, c.cell) AS rn "
+        "FROM embeddings e, cents c"
+    )
+    return (
+        f"WITH cents(cell, cv) AS (VALUES {rows}), "
+        f"corp AS (SELECT vec_id, embedding, cell FROM ({rank_sql}) "
+        "WHERE rn = 1), "
+        "probe AS (SELECT vec_id AS query_id, embedding AS qv, cell "
+        f"FROM ({rank_sql} WHERE e.vec_id < 5) WHERE rn <= 2), "
+        "cand AS (SELECT DISTINCT p.query_id, p.qv, co.vec_id AS "
+        "neighbor_id, co.embedding FROM probe p JOIN corp co USING (cell) "
+        "WHERE co.vec_id <> p.query_id) "
+        "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
+        "neighbor_id::BIGINT AS neighbor_id, round(sim, 3) AS cosine_sim "
+        "FROM (SELECT query_id, neighbor_id, "
+        "list_cosine_similarity(qv, embedding) AS sim, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY "
+        "list_cosine_similarity(qv, embedding) DESC, neighbor_id) AS rn "
+        "FROM cand) WHERE rn <= 3"
+    )
 
 
 def _minhash_lsh_pairs_oracle_sql() -> str:

@@ -243,6 +243,7 @@ def minhash_lsh_jaccard_pairs(
     threshold: tuple[int, int] = (9, 10),
     bucket_pair_cap: int = 4096,
     dense_cells: int = 150_000_000,
+    group_budget_rows: int = 4096,
 ) -> DataFrame:
     """EXACT shingle-set Jaccard ≥ threshold over the LSH candidate
     pairs, computed BUCKET-LOCALLY — the scale-safe verify stage.
@@ -276,6 +277,20 @@ def minhash_lsh_jaccard_pairs(
          fall back to per-pair sorted-array intersection.
       5. distinct() — the same pair found in several bands collapses.
 
+    GROUP-MEMORY BOUND (VERDICT r3 #3): an applyInPandas group holds
+    every member's shingle array in memory at once.  All-pairs buckets
+    are bounded by construction (≤ ``bucket_pair_cap`` members — a
+    corpus-size-independent constant), but a CHAIN bucket is one whole
+    mega-cluster: at 100 TB a boilerplate bucket of 10⁷ docs would put
+    the entire cluster's arrays in a single task.  Chain buckets are
+    therefore SALTED into sub-groups of ``group_budget_rows`` members
+    along the sorted-id order, with each sub-group boundary member
+    duplicated into the previous sub-group — sorted-adjacent pairs
+    within sub-groups then reproduce the global chain edge set EXACTLY
+    (semantics and oracle unchanged; pinned by
+    tests/test_training_ops.py::test_lsh_jaccard_chain_salting), while
+    per-group residency drops to ≤ group_budget_rows + 1 arrays.
+
     Shingle hashes are the injective base-257 polynomial of
     ``_hash_shingles`` (no wrap at k ≤ 8), so the reported sizes are
     exactly the true set sizes — a brute-force SQL oracle over
@@ -288,10 +303,29 @@ def minhash_lsh_jaccard_pairs(
     banded = _banded_keys(sigs, id_col, num_hashes, bands)
     buckets = (
         banded.groupBy("band", "band_hash")
-        .agg(F.collect_list(id_col).alias("ids"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    members = buckets.select("band", "band_hash", F.explode("ids").alias(id_col))
+    # (band, band_hash, bucket-size, sorted-position, id) member rows.
+    # Small (all-pairs) buckets form one group (grp 0); chain buckets
+    # are salted into sorted windows of group_budget_rows members, the
+    # window-boundary member duplicated into the previous window so
+    # every global sorted-adjacent edge appears in exactly one group.
+    members = buckets.select(
+        "band", "band_hash", F.size("ids").alias("bn"),
+        F.posexplode("ids").alias("pos", id_col),
+    ).withColumn(
+        "grp",
+        F.when(F.col("bn") <= bucket_pair_cap, F.lit(0)).otherwise(
+            F.floor(F.col("pos") / group_budget_rows)
+        ),
+    )
+    boundary = members.filter(
+        (F.col("bn") > bucket_pair_cap)
+        & (F.col("pos") % group_budget_rows == 0)
+        & (F.col("pos") > 0)
+    ).withColumn("grp", F.col("grp") - 1)
+    members = members.unionByName(boundary)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def grams_udf(texts: pd.Series) -> pd.Series:
@@ -329,8 +363,13 @@ def minhash_lsh_jaccard_pairs(
                 for a in pdf["sh"].to_numpy()[order]]
         m = len(ids)
         lens = np.array([a.size for a in arrs], dtype=np.int64)
-        if m > bucket_pair_cap:
+        # chain mode follows the BUCKET size (bn), not the group size —
+        # a salted sub-group of a mega-bucket is small but still chains
+        if int(pdf["bn"].iat[0]) > bucket_pair_cap:
             # chain edges only — same candidate set as minhash_lsh_pairs
+            # (the sub-group is a contiguous sorted range plus the
+            # previous boundary member, so local adjacency == the global
+            # chain restricted to this window)
             inter = np.array([
                 np.intersect1d(arrs[i], arrs[i + 1], assume_unique=True).size
                 for i in range(m - 1)
@@ -354,7 +393,7 @@ def minhash_lsh_jaccard_pairs(
         return _pair_rows((ids[ii], ids[jj]), inter, union)
 
     return (
-        joined.groupBy("band", "band_hash")
+        joined.groupBy("band", "band_hash", "grp")
         .applyInPandas(lambda _k, pdf: verify(pdf), out_schema)
         .distinct()
     )
@@ -372,63 +411,129 @@ def dedup_clusters(
     turns pairwise near-dup evidence into KEEP/DROP decisions for a
     training corpus.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels:
+    Algorithm: LARGE-STAR / SMALL-STAR alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") over the evolving
+    edge set, not label propagation:
 
-        labels ← min(labels, min over edges of neighbor label)
+        large-star: every node attaches its LARGER neighbors to the
+                    min of its closed neighborhood;
+        small-star: every node attaches itself and its smaller
+                    neighbors (except the min) to that min.
 
-    Pure DataFrame joins/aggregations per round (each is one shuffle on
-    ``node``); rounds needed = graph diameter ≤ O(log n) for the
-    clustered graphs LSH produces (near-dup components are dense).  The
-    loop stops as soon as a round changes nothing — the convergence
-    check is a count of changed labels (cheap: labels are narrow).  At
-    100 TB scale this is the standard GraphX-free connected-components
-    shape; every round's join keys are node ids, so AQE handles skew.
+    Plain min-label propagation converges in O(graph diameter) rounds
+    — and the mega-bucket chain fallback upstream
+    (``minhash_lsh_pairs``) deliberately emits PATH graphs whose
+    diameter equals the bucket size, so at 100 TB a boilerplate
+    cluster blows any fixed round budget (VERDICT r3 #1; naive
+    label-jumping also degenerates to one hop per round in the endgame
+    because a local minimum's label points at itself).  Star
+    alternation contracts components GEOMETRICALLY: each round roughly
+    halves the path structure, converging in O(log n) rounds in
+    practice (O(log² n) proven) — a 4096-node path converges well
+    inside the default budget
+    (tests/test_training_ops.py::test_dedup_clusters_path_graph_converges).
+    At the fixpoint the edges form stars (child → component min), and
+    a round that changes nothing is the convergence proof; if the loop
+    exits without one it RAISES instead of silently returning partial
+    labels — wrong canonical ids are a silent dedup under-kill.
+
+    Every star step is a groupBy + join + distinct on node-id keys
+    (narrow 2-column rows; AQE handles skew); each round is
+    localCheckpoint-truncated and the fixpoint probe is a 1-row
+    count/hash aggregate of the edge multiset.
 
     Exactly SQL-reproducible: a recursive CTE computing min reachable
     id is the DuckDB oracle (driver query ``dedup_clusters``)."""
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)  # reused every round — compute once
+        .localCheckpoint(eager=False)
     )
-    # Only nodes that appear in the pair graph can ever change label —
-    # in a real corpus the overwhelming majority of docs are singletons,
-    # so the iteration runs on the (small) connected subgraph and the
-    # untouched docs are unioned back at the end.  At 100 TB this is the
-    # difference between iterating on near-dup clusters and iterating on
-    # the whole corpus.
-    connected = edges.select(F.col("a").alias("node")).distinct()
-    labels = connected.withColumn("lbl", F.col("node"))
+    # Only nodes that appear in the pair graph can ever move — in a
+    # real corpus the overwhelming majority of docs are singletons, so
+    # the iteration runs on the (small) connected subgraph and the
+    # untouched docs are unioned back at the end.  At 100 TB this is
+    # the difference between iterating on near-dup clusters and
+    # iterating on the whole corpus.
+    connected = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _signature(e: DataFrame):
+        # order-insensitive multiset fingerprint of the edge set: count
+        # plus two independent hash sums (canonical orientation) — a
+        # round that leaves it unchanged has reached the fixpoint
+        lo, hi = F.least("u", "v"), F.greatest("u", "v")
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38) accumulator: a bigint sum overflows under ANSI
+            F.sum(F.xxhash64(lo, hi).cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64(hi, lo, F.lit(7)).cast("decimal(38,0)"))
+            .alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    prev_sig = _signature(edges)
+    converged = False
     for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("lbl").alias("nlbl"))
+        # large-star: symmetric neighborhoods; every node u attaches
+        # its larger neighbors to m = min(N(u) ∪ {u})
+        nb = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # the changed-flag rides the same projection (no second join);
-        # materializing each round truncates the exponentially growing
-        # lineage, and the convergence probe reads the checkpointed
-        # result with limit(1) — it stops at the first changed row
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "lbl", F.coalesce("nlbl", F.col("lbl"))
-                ).alias("lbl"),
-                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl"))
-                .alias("chg"),
+        mins = nb.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            nb.join(mins, "u")
+            .withColumn("m", F.least("u", "mv"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient child → smaller; u and its smaller
+        # neighbors (except the min m) all attach to m
+        o = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
-            .localCheckpoint(eager=True)
+            .distinct()
         )
-        changed = new_labels.filter("chg").limit(1).count()
-        labels = new_labels.select("node", "lbl")
-        if changed == 0:
+        omins = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(omins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(omins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        edges = small
+        sig = _signature(edges)
+        if sig == prev_sig:
+            converged = True
             break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            "star rounds (geometric contraction makes that astronomically "
+            "deep or a logic error) — refusing to return partial (wrong) "
+            "canonical ids"
+        )
+    # fixpoint edges are stars: (child, component-min); centers label
+    # themselves, untouched docs are singletons
+    stars = edges.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("lbl")
+    )
+    centers = stars.select(F.col("lbl").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    labels = stars.unionByName(centers)
     singletons = docs.select(F.col(id_col).alias("node")).join(
         connected, "node", "left_anti"
     )
@@ -507,6 +612,8 @@ def simhash(
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     hamming_k: int = 3,
+    rows_per_group_budget: int = 2_000_000,
+    bucket_member_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates with Hamming distance ≤ k via pigeonhole on
     (k+1) 15-bit blocks of the 60-bit simhash; verified by popcount.
@@ -520,7 +627,25 @@ def simhash_near_dup_pairs(
     numpy broadcasts (~1 ns/pair) and emits only pairs ≤ k; only one
     narrow fingerprint row per doc per block crosses the shuffle
     (measured 22 s → ~4 s).  Pigeonhole exactness is unchanged: every
-    pair within Hamming k shares some block, i.e. some bucket."""
+    pair within Hamming k shares some block, i.e. some bucket.
+
+    GROUP-MEMORY BOUNDS (VERDICT r3 #3):
+
+    * The coarse group count scales with the corpus —
+      ``max(4 × shuffle.partitions, block-rows / rows_per_group_budget)``
+      — so AVERAGE per-group residency stays ~``rows_per_group_budget``
+      narrow (id, fp, block) rows (~50 MB) at any corpus size, instead
+      of growing linearly at fixed partitioning.
+    * A single (block_idx, block_val) mega-bucket (identical-fingerprint
+      boilerplate) still lands in one group AND its all-pairs output is
+      inherently quadratic.  ``bucket_member_cap`` bounds both: buckets
+      above the cap emit only their sorted-adjacent chain edges
+      (verified Hamming ≤ k), keeping the cluster connected for
+      downstream ``dedup_clusters`` — the same documented trade as the
+      minhash chain fallback.  Default None preserves exact all-pairs
+      semantics (and the brute-force driver oracle, where no sf-scale
+      bucket approaches any sane cap); set it when running over corpora
+      with million-row boilerplate clusters (run exact dedup first)."""
     h = simhash(df, text_col).select(id_col, "simhash")
     blocks = h.select(
         id_col,
@@ -545,6 +670,18 @@ def simhash_near_dup_pairs(
 
     def verify_bucket(ids, fps, out_a, out_b, out_h):
         m = len(ids)
+        if bucket_member_cap is not None and m > bucket_member_cap:
+            # mega-bucket: sorted-adjacent chain edges only (ids arrive
+            # lexsorted within the bucket) — O(m) work and output
+            x = fps[:-1] ^ fps[1:]
+            ham = pop8[x.view(np.uint8)].reshape(m - 1, 8).sum(
+                axis=-1, dtype=np.int64
+            )
+            keep = ham <= hamming_k
+            out_a.append(ids[:-1][keep])
+            out_b.append(ids[1:][keep])
+            out_h.append(ham[keep])
+            return
         # row-chunks bound the m×m XOR matrix to ≤ chunk×m uint64;
         # ~1M cells ≈ 8 MB keeps transients below the THP/compaction
         # stall regime (see vote_udf chunking note)
@@ -589,8 +726,14 @@ def simhash_near_dup_pairs(
             if out_h else [],
         })
 
-    n_groups = 4 * int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    # group count scales with the corpus so per-group residency is
+    # bounded at any scale (the count() is a metadata-cheap scan)
+    n_block_rows = 4 * df.count()
+    n_groups = max(
+        4 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        ),
+        -(-n_block_rows // rows_per_group_budget),  # ceil div
     )
     grouped = blocks.withColumn(
         "grp", F.pmod(F.xxhash64("block_idx", "block_val"), F.lit(n_groups))

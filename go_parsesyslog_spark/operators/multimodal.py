@@ -11,10 +11,14 @@ REAL decode kernels (pure numpy, no codec libraries needed):
   BGR row decode (4-byte row padding), luma conversion, 8×8
   nearest-neighbor downsample, features: dimensions + luma stats +
   coarse histogram.
+* **PNG (8-bit, non-interlaced)** — stdlib-zlib IDAT inflate, all five
+  scanline unfilters (this file).
+* **baseline JPEG** — Huffman + dequant + IDCT in numpy, 4:2:0
+  upsampling, restart markers (operators/jpeg.py).
 
-Formats that genuinely require codec libraries absent from this
-container (mp4/h264 video, png/jpeg) stay honestly stubbed: with
-``fake=False`` they surface a per-row error (never throw the job);
+Only video (mp4/h264) genuinely requires a codec library absent from
+this container (ffmpeg) and stays honestly stubbed: with
+``fake=False`` it surfaces a per-row error (never throws the job);
 ``fake=True`` (default) substitutes a deterministic sha256-derived
 feature so the distributed plumbing is exercised end-to-end either way.
 
@@ -26,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -188,6 +193,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_MAX_PIXELS = 64 << 20  # 64 MP ≈ 192 MB RGB — far above any feature need
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -233,9 +239,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"unsupported PNG: depth={depth} color={ctype_i} "
             f"interlace={interlace}"
         )
-    raw = zlib.decompress(b"".join(idat))
+    # header fields are UNTRUSTED: a hostile/corrupt IHDR could declare
+    # dimensions that allocate GBs inside the UDF (the bounded-transient
+    # policy elsewhere in this package), so cap the pixel count and
+    # inflate with an explicit output bound instead of an open-ended
+    # zlib.decompress
+    if w <= 0 or h <= 0 or w * h > PNG_MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} out of bounds (max {PNG_MAX_PIXELS} px)"
+        )
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    expected = h * (stride + 1)
+    try:
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected)
+    except zlib.error as e:
+        # per-row (ok, err) contract: corrupt IDAT must be a row error,
+        # not a job-killing exception type outside the catch list
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+    if len(raw) < expected:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -326,9 +347,16 @@ def image_features(payload: bytes) -> list[float]:
     """16-dim image feature vector: dims, luma stats, 8-bin histogram,
     plus a 2×2 nearest-neighbor thumbnail of the luma plane (the
     resize kernel, exercised for real).  Dispatches on magic bytes:
-    PNG (pure numpy+zlib) or BMP."""
-    img = (decode_png(payload) if payload[:8] == _PNG_SIG
-           else decode_bmp(payload))
+    PNG (pure numpy+zlib), JPEG (pure numpy baseline codec in
+    operators/jpeg.py) or BMP."""
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from go_parsesyslog_spark.operators.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+    else:
+        img = decode_bmp(payload)
     h, w = img.shape[:2]
     luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
             + 0.114 * img[:, :, 2])
@@ -357,27 +385,30 @@ def _fake_feature(payload: bytes) -> list[float]:
 
 def decode_features(payload: bytes, kind: str, mime: str,
                     fake: bool) -> list[float]:
-    """The codec boundary: real numpy decoders for WAV, BMP and PNG
-    (8-bit, non-interlaced — zlib is stdlib, so no codec library is
-    needed); formats genuinely requiring absent codec libraries
-    (mp4/h264, jpeg) either raise (fake=False → per-row err) or yield
-    the deterministic sha256 fake."""
+    """The codec boundary: real numpy decoders for WAV, BMP, PNG
+    (8-bit, non-interlaced — zlib is stdlib) and baseline JPEG
+    (Huffman + IDCT in numpy, operators/jpeg.py) — no codec library
+    needed for any of them.  Only video (mp4/h264) genuinely requires
+    an absent codec library (ffmpeg): it either raises (fake=False →
+    per-row err) or yields the deterministic sha256 fake."""
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(payload)
-    if mime in ("image/bmp", "image/x-ms-bmp", "image/png"):
+    if mime in ("image/bmp", "image/x-ms-bmp", "image/png",
+                "image/jpeg", "image/jpg"):
         return image_features(payload)
     if not fake:
         raise NotImplementedError(
             f"decoding {mime} requires codec libraries not present in "
-            "this environment (PIL/ffmpeg); WAV, BMP and PNG decode "
-            "natively"
+            "this environment (ffmpeg); WAV, BMP, PNG and baseline "
+            "JPEG decode natively"
         )
     return _fake_feature(payload)
 
 
 def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table: REAL synthesized WAV tones and BMP
-    gradients plus opaque video bytes (plumbing + real-decoder tests)."""
+    """Deterministic media table: REAL synthesized WAV tones, BMP
+    gradients and baseline JPEGs plus opaque video bytes (plumbing +
+    real-decoder tests)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -386,6 +417,15 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = synth_wav(freq_hz=220.0 + 20 * (i % 10),
                                 seconds=0.05 + 0.01 * (i % 5))
             mime, w, h, dur = "audio/wav", None, None, 50 + 10 * (i % 5)
+        elif kind == "image" and i % 6 == 0:
+            from go_parsesyslog_spark.operators.jpeg import encode_jpeg
+
+            w, h = 16 + i % 16, 12 + i % 8
+            img = np.random.default_rng(i).integers(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            payload = encode_jpeg(img)
+            mime, dur = "image/jpeg", None
         elif kind == "image":
             w, h = 16 + i % 16, 12 + i % 8
             payload = synth_bmp(w, h, seed=i)
@@ -423,7 +463,8 @@ def extract_features(
                     oks.append(True)
                     errs.append(None)
                 except (NotImplementedError, ValueError, struct.error,
-                        ZeroDivisionError) as e:
+                        ZeroDivisionError, zlib.error, MemoryError,
+                        IndexError) as e:
                     feats.append(None)
                     oks.append(False)
                     errs.append(str(e)[:120])

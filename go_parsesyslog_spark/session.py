@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Streaming state-store maintenance (snapshot/cleanup) runs on a
+        # background pool every 60 s by default; short availableNow
+        # queries finish in seconds, and the maintenance tick racing a
+        # query's checkpoint teardown spewed a harmless-but-noisy Java
+        # stack trace into bench output (VERDICT r3 #5).  A long
+        # interval keeps short-lived batch-style streaming runs quiet;
+        # long-running production streams override per-session.
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():

@@ -34,18 +34,21 @@ def read_syslog(
     framing: str = "lines",
     engine: str | None = None,
     with_source_file: bool = True,
+    ref_now=None,
 ) -> DataFrame:
     """Parsed DataFrame (one row per message) from raw syslog files.
 
     ``with_source_file`` attaches the originating file path (lineage for
-    DLQ triage) via ``input_file_name`` before any shuffle."""
+    DLQ triage) via ``input_file_name`` before any shuffle.  ``ref_now``
+    pins the RFC3164 year-inference reference instant (date.go:73-86),
+    as in :func:`parse_logs`."""
     if framing == "lines":
         raw = spark.read.text(path).withColumnRenamed("value", "text")
         if with_source_file:
             raw = raw.withColumn("source_file", F.input_file_name())
         # empty trailing lines are file artifacts, not messages
         raw = raw.filter(F.length("text") > 0)
-        return parse_logs(raw, fmt=fmt, engine=engine)
+        return parse_logs(raw, fmt=fmt, engine=engine, ref_now=ref_now)
     if framing in ("auto", "octet", "newline"):
         raw = spark.read.text(path, wholetext=True).withColumnRenamed(
             "value", "blob"
@@ -57,5 +60,5 @@ def read_syslog(
         ]
         msgs = split_messages(raw, blob_col="blob", fmt=split_fmt)
         msgs = msgs.withColumnRenamed("blob", "text")
-        return parse_logs(msgs, fmt=fmt, engine=engine)
+        return parse_logs(msgs, fmt=fmt, engine=engine, ref_now=ref_now)
     raise ValueError(f"unknown framing {framing!r}")

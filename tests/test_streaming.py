@@ -251,3 +251,22 @@ def test_availablenow_windowed_counts_append_semantics(spark, sf_dir):
     n_open = batch.count() - len(closed)
     assert got == closed
     assert n_open >= 1  # something was genuinely withheld
+
+
+def test_availablenow_result_survives_next_call(spark, sf_dir):
+    """ADVICE r3: the returned DataFrame must stay valid after a LATER
+    invocation (the r3 version dropped the previous memory-sink view on
+    the next call, invalidating a held result)."""
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_windowed_counts,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    first = availablenow_windowed_counts(spark, path)
+    n_first = first.count()
+    second = availablenow_windowed_counts(spark, path)
+    # evaluating the FIRST result after the second run must still work
+    # and agree with itself and the second run
+    assert first.count() == n_first
+    assert second.count() == n_first
+    assert n_first > 0
