@@ -311,21 +311,24 @@ def minhash_lsh_jaccard_pairs(
     # are salted into sorted windows of group_budget_rows members, the
     # window-boundary member duplicated into the previous window so
     # every global sorted-adjacent edge appears in exactly one group.
-    members = buckets.select(
-        "band", "band_hash", F.size("ids").alias("bn"),
-        F.posexplode("ids").alias("pos", id_col),
-    ).withColumn(
-        "grp",
-        F.when(F.col("bn") <= bucket_pair_cap, F.lit(0)).otherwise(
-            F.floor(F.col("pos") / group_budget_rows)
-        ),
+    # The duplication is an explode of a per-row 1-or-2-element group
+    # array (NOT a union of a filtered copy — that would compute the
+    # bucket aggregation twice).
+    g = F.floor(F.col("pos") / group_budget_rows)
+    grps = F.when(F.col("bn") <= bucket_pair_cap, F.array(F.lit(0))).otherwise(
+        F.when(
+            (F.col("pos") % group_budget_rows == 0) & (F.col("pos") > 0),
+            F.array(g - 1, g),
+        ).otherwise(F.array(g))
     )
-    boundary = members.filter(
-        (F.col("bn") > bucket_pair_cap)
-        & (F.col("pos") % group_budget_rows == 0)
-        & (F.col("pos") > 0)
-    ).withColumn("grp", F.col("grp") - 1)
-    members = members.unionByName(boundary)
+    members = (
+        buckets.select(
+            "band", "band_hash", F.size("ids").alias("bn"),
+            F.posexplode("ids").alias("pos", id_col),
+        )
+        .select("band", "band_hash", "bn", "pos", id_col,
+                F.explode(grps).alias("grp"))
+    )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def grams_udf(texts: pd.Series) -> pd.Series:
@@ -486,13 +489,14 @@ def dedup_clusters(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mins = nb.groupBy("u").agg(F.min("v").alias("mv"))
+        # no distinct here: small-star's canonical orientation dedups
+        # immediately below, saving a full shuffle per round
         large = (
             nb.join(mins, "u")
             .withColumn("m", F.least("u", "mv"))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: orient child → smaller; u and its smaller
         # neighbors (except the min m) all attach to m

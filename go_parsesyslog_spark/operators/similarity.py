@@ -77,6 +77,16 @@ def cosine_topk_bruteforce(
     )
 
 
+def hyperplane_planes(
+    dim: int, n_tables: int = 8, n_planes: int = 12, seed: int = 42
+) -> np.ndarray:
+    """The fixed random hyperplanes (float32, one rng stream) — the
+    single source of truth shared by :func:`hyperplane_signatures` and
+    the driver oracles that inline these values as SQL literals."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables * n_planes, dim)).astype(np.float32)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     dim: int,
@@ -87,14 +97,21 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """Attach ``lsh_keys: array<bigint>`` — one bucket key per table,
     derived from the sign pattern of the vector against fixed random
-    hyperplanes.  One matmul per Arrow batch."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables * n_planes, dim)).astype(np.float32)
+    hyperplanes.  One matmul per Arrow batch.
+
+    The dot products run in float64 (planes are drawn float32 then
+    widened — exactly representable): the driver oracles replay the
+    sign tests in SQL with double-precision ``list_inner_product`` over
+    the same plane literals, and float32 accumulation would flip signs
+    on near-zero dots; float64 agreement margins are ~1e-15."""
+    planes = hyperplane_planes(dim, n_tables, n_planes, seed).astype(
+        np.float64
+    )
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def keys_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
         signs = (mat @ planes.T) > 0  # (batch, n_tables*n_planes)
         signs = signs.reshape(len(mat), n_tables, n_planes)
         keys = (signs * weights).sum(axis=2)  # (batch, n_tables)
