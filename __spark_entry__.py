@@ -460,6 +460,42 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+_BPE_CONTR = "'(?:s|t|re|ve|m|ll|d)"
+_BPE_PATTERN = (
+    _BPE_CONTR + r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-style pre-tokenization counts (the GPT-2 pretokenizer shape,
+    RE2-compatible: contractions, space-prefixed letter runs, digit
+    runs, punctuation runs, whitespace) — the training-data token
+    accounting that whitespace splitting undercounts.  Pure Catalyst
+    regexp_extract_all (JVM, codegen); DuckDB replays the identical
+    pattern (both engines are leftmost/first-alternative, so counts
+    agree exactly on the ASCII corpus).  The synthetic corpus is
+    all-lowercase words, so a deterministic mixed suffix (id, version
+    number, contraction) is appended on both sides to make the digit/
+    punctuation/contraction branches non-vacuous."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" doc#"),
+            F.col("doc_id").cast("string"), F.lit(" v1.2, don't"),
+        ),
+    )
+    cnt = lambda p: F.size(  # noqa: E731
+        F.regexp_extract_all("text", F.lit(p), F.lit(0))
+    ).cast("long")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        cnt(_BPE_PATTERN).alias("n_bpe_tokens"),
+        cnt(r" ?\p{L}+").alias("n_alpha_runs"),
+        cnt(r" ?\p{N}+").alias("n_digit_runs"),
+        cnt(_BPE_CONTR).alias("n_contractions"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Similarity search: brute-force cosine top-3 neighbors for the
     first 5 vectors (broadcast query side, JVM-side dot products)."""
@@ -902,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "quality_features": q_quality_features,
@@ -1084,6 +1121,22 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_intersect(a.grams, b.grams))::DOUBLE / "
             "len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard "
             "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"
+        ),
+        "bpe_token_stats": (
+            "WITH docs AS (SELECT doc_id, text || ' doc#' || "
+            "doc_id::VARCHAR || ' v1.2, don''t' AS text FROM documents) "
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "len(regexp_extract_all(text, "
+            f"'{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}'))::BIGINT "
+            "AS n_bpe_tokens, "
+            "len(regexp_extract_all(text, ' ?\\p{L}+'))::BIGINT "
+            "AS n_alpha_runs, "
+            "len(regexp_extract_all(text, ' ?\\p{N}+'))::BIGINT "
+            "AS n_digit_runs, "
+            "len(regexp_extract_all(text, "
+            f"'{_BPE_CONTR.replace(chr(39), chr(39) * 2)}'))::BIGINT "
+            "AS n_contractions "
+            "FROM docs"
         ),
         "ann_cosine_topk": (
             "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
