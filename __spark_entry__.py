@@ -848,6 +848,25 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label element-wise mean embedding (class centroids) through
+    the driver gate: posexplode → one (label, pos) shuffle with
+    map-side partial sums — never whole-array collection per label.
+    Output is narrow rows (label, pos, n_vecs, centroid_val) so the
+    hash compare stays scalar; values rounded to 5 dp (both engines
+    average in double, agreement ~1e-15)."""
+    from go_parsesyslog_spark.operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = label_centroids(emb)
+    return out.select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round("centroid_val", 5).alias("centroid_val"),
+    )
+
+
 def q_multi_message_split(spark, sf_dir):
     """ParseReader-over-a-stream analog (rfc5424_test.go:147-153,
     README.md:17-22): each event carries a blob of 3 newline-delimited
@@ -955,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_reduced_probe": q_ann_ivf_reduced_probe,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "label_centroids": q_label_centroids,
         "streaming_hourly_counts": q_streaming_hourly_counts,
     }
 
@@ -1268,6 +1288,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_reduced_probe": _ann_ivf_reduced_probe_oracle_sql(),
         "ann_lsh_bucketed": _ann_lsh_bucketed_oracle_sql(),
         "embedding_near_dups_lsh": _embedding_near_dups_lsh_oracle_sql(),
+        "label_centroids": (
+            # unnest + generate_subscripts advance in lockstep in DuckDB,
+            # mirroring posexplode; pos is 0-based on the Spark side
+            "WITH e AS (SELECT label, unnest(embedding)::DOUBLE AS val, "
+            "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings) "
+            "SELECT label, pos::BIGINT AS pos, count(*)::BIGINT AS n_vecs, "
+            "round(avg(val), 5) AS centroid_val FROM e GROUP BY label, pos"
+        ),
         "multi_message_split": " UNION ALL ".join(
             "SELECT event_id::BIGINT AS event_id, "
             f"{i - 1}::BIGINT AS msg_idx, "

@@ -377,6 +377,37 @@ def embedding_near_dup_pairs_exact(
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label element-wise mean embedding (class centroids — the
+    training-data op behind centroid-distance filtering and per-class
+    pruning).  Returns narrow (label, pos, n_vecs, centroid_val) rows.
+
+    Scale shape: ``posexplode`` → (label, pos, val) rows (~20 bytes)
+    → ONE shuffle on (label, pos), which is uniformly distributed for
+    any label skew ≤ dim× (the pos component spreads a hot label over
+    ``dim`` reducers); partial aggregation (map-side combine) means the
+    shuffle carries one partial sum per (label, pos, mapper), NOT the
+    corpus.  The alternative — collect_list of whole arrays per label —
+    puts an entire class's vectors in one reducer and dies on the first
+    million-document label."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg(F.col("val").cast("double")).alias("centroid_val"),
+        )
+        .select("label", "pos", "n_vecs", "centroid_val")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

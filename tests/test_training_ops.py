@@ -350,6 +350,32 @@ def test_ivf_sample_not_layout_biased(spark):
     assert counts[0] >= 200, f"skewed occupancy: {counts}"
 
 
+def test_label_centroids_match_numpy(spark, emb):
+    """Element-wise per-label mean via the narrow posexplode shuffle
+    must equal the numpy groupwise mean exactly (double agreement)."""
+    import numpy as np
+
+    from go_parsesyslog_spark.operators.similarity import label_centroids
+
+    got = {}
+    for r in label_centroids(emb).collect():
+        got.setdefault(r["label"], {})[r["pos"]] = (
+            r["n_vecs"], r["centroid_val"]
+        )
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    for lbl, vecs in by_label.items():
+        want = np.mean(np.stack(vecs), axis=0)
+        assert len(got[lbl]) == len(want)
+        for pos, (n, v) in got[lbl].items():
+            assert n == len(vecs)
+            assert abs(v - want[pos]) < 1e-9, (lbl, pos)
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     from go_parsesyslog_spark.operators.similarity import (
         embedding_near_dup_pairs,
