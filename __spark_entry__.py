@@ -914,6 +914,25 @@ def q_streaming_hourly_counts(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_keys(spark, sf_dir):
+    """Streaming exact dedup through the driver gate: the events table
+    fed twice (streaming self-union, one microbatch) through
+    dropDuplicatesWithinWatermark keyed on event_id — bounded-state
+    streaming dedup, the continuous-ingest analog of dedup_exact.
+    Duplicate rows are bit-identical so the surviving row is
+    deterministic; oracle = SELECT DISTINCT."""
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_dedup_keys,
+    )
+
+    out = availablenow_dedup_keys(spark, f"{sf_dir}/events.parquet")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct wire messages from sf0.001 events, run the
     full parse→enrich→aggregate DAG, return per-class hourly counts."""
@@ -976,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "label_centroids": q_label_centroids,
         "streaming_hourly_counts": q_streaming_hourly_counts,
+        "streaming_dedup_keys": q_streaming_dedup_keys,
     }
 
 
@@ -1295,6 +1315,10 @@ def oracle_sql() -> dict[str, str]:
             "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings) "
             "SELECT label, pos::BIGINT AS pos, count(*)::BIGINT AS n_vecs, "
             "round(avg(val), 5) AS centroid_val FROM e GROUP BY label, pos"
+        ),
+        "streaming_dedup_keys": (
+            "SELECT DISTINCT event_id::BIGINT AS event_id, "
+            "user_id::BIGINT AS user_id, event_type FROM events"
         ),
         "multi_message_split": " UNION ALL ".join(
             "SELECT event_id::BIGINT AS event_id, "

@@ -205,6 +205,79 @@ def availablenow_windowed_counts(
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and drops
+    the key's state once the watermark passes it — the streaming analog
+    of ``operators/dedup.dedup_exact`` for continuous training-data
+    ingestion.  A plain ``dropDuplicates`` on a stream keeps ALL keys
+    forever (unbounded state — the thing that kills a 100 TB ingest);
+    the watermark bounds state to the late-data horizon."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def availablenow_dedup_keys(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Driver-gate surface for streaming dedup: the events table is fed
+    TWICE (a streaming self-union — both copies arrive in the same
+    microbatch) through ``stream_dedup_exact`` keyed on event_id; the
+    emitted set is exactly one row per distinct key, and because the
+    duplicate rows are bit-identical the surviving row is deterministic
+    — SQL-mirrored by SELECT DISTINCT.  Same availableNow + memory-sink
+    + materialize lifecycle as availablenow_windowed_counts."""
+    global _memory_sink_counter
+    import os
+    import tempfile
+
+    _memory_sink_counter += 1
+    name = f"stream_dedup_keys_{_memory_sink_counter}"
+    schema = spark.read.parquet(events_path).schema
+    stream_path = events_path
+    if not os.path.isdir(events_path):
+        stream_path = events_path[:-1] + "[" + events_path[-1] + "]"
+
+    def src():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1_000_000)
+            .parquet(stream_path)
+        )
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    doubled = src().unionByName(src())
+    deduped = stream_dedup_exact(
+        doubled, ["event_id"], ts_col="ts", watermark=watermark
+    ).select("event_id", "user_id", "event_type")
+    ckpt = tempfile.mkdtemp(prefix=f"gps_stream_ckpt_{name}_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name)
+    rows = sink.collect()
+    result = spark.createDataFrame(rows, sink.schema)
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    return result
+
+
 _CONV_STATE_SCHEMA = "turns long, errors long, last_turn_idx long"
 _CONV_OUT_SCHEMA = (
     "conv_id string, turns long, errors long, last_turn_idx long"

@@ -253,6 +253,29 @@ def test_availablenow_windowed_counts_append_semantics(spark, sf_dir):
     assert n_open >= 1  # something was genuinely withheld
 
 
+def test_streaming_dedup_exact(spark, sf_dir):
+    """Streaming dedup with bounded state: a doubled input stream must
+    emit each key exactly once, with the surviving rows equal to the
+    batch DISTINCT."""
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_dedup_keys,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    got = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in availablenow_dedup_keys(spark, path).collect()
+    }
+    n_got = availablenow_dedup_keys(spark, path).count()
+    want = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in spark.read.parquet(path)
+        .select("event_id", "user_id", "event_type").distinct().collect()
+    }
+    assert got == want
+    assert n_got == len(want)  # exactly once per key, no dup emission
+
+
 def test_availablenow_result_survives_next_call(spark, sf_dir):
     """ADVICE r3: the returned DataFrame must stay valid after a LATER
     invocation (the r3 version dropped the previous memory-sink view on
