@@ -769,6 +769,45 @@ def q_read_syslog_lines(spark, sf_dir):
     )
 
 
+def q_read_syslog_octet(spark, sf_dir):
+    """A4/A14 raw-FILE octet framing through the driver gate: RFC6587
+    octet-counted frames written back-to-back into files, read with
+    ``read_syslog(framing="octet")`` — wholetext blobs split by the
+    byte-accurate frame scanner, then the full RFC5424 parse.  The
+    line writer's ``\\n`` terminator is COUNTED INTO each frame (the
+    reference keeps trailing newlines in the body — logmsg MsgLength
+    semantics, rfc3164.go:101), so frames are contiguous and every
+    parsed message ends with the newline, which the oracle mirrors
+    with ``|| chr(10)``."""
+    import os
+
+    from go_parsesyslog_spark.sources.rawlog import read_syslog
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/gps_rawlog5424_{tag}"
+    marker = os.path.join(path, "_GPS_COMPLETE")
+    if not os.path.exists(marker):
+        ev = _with_rfc5424_text(
+            _t(spark, sf_dir, "events"), frame_extra=F.lit(1)
+        )
+        ev.select("text").write.mode("overwrite").text(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    p = read_syslog(spark, path, fmt="rfc5424", framing="octet")
+    return p.select(
+        F.regexp_extract("message", r"#(\d+)\n$", 1).cast("long")
+        .alias("event_id"),
+        F.col("priority").cast("long").alias("priority"),
+        "host",
+        "app",
+        F.col("pid").alias("procid"),
+        "msgid",
+        "message",
+        F.col("msg_length").cast("long").alias("msg_length"),
+        F.date_format("msg_ts", "yyyy-MM-dd HH:mm:ss").alias("msg_ts_str"),
+    )
+
+
 def q_ann_ivf_reduced_probe(spark, sf_dir):
     """REDUCED-probe IVF ANN (n_probe=2 of 8 cells) — the oracle grades
     the APPROXIMATION, not just the machinery (VERDICT r3 #4): the
@@ -990,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multi_message_split": q_multi_message_split,
         "read_syslog_lines": q_read_syslog_lines,
+        "read_syslog_octet": q_read_syslog_octet,
         "ann_ivf_reduced_probe": q_ann_ivf_reduced_probe,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1305,6 +1345,20 @@ def oracle_sql() -> dict[str, str]:
         # round-trip (write wire lines → spark.read.text → parse) must
         # lose nothing
         "read_syslog_lines": f"SELECT {_SQL_3164_FIELDS} FROM events",
+        "read_syslog_octet": (
+            "SELECT event_id, (event_id % 192)::BIGINT AS priority, "
+            "'h' || (user_id % 50) AS host, 'app' || (event_id % 7) AS app, "
+            "(event_id % 1000)::VARCHAR AS procid, "
+            "'ID' || (event_id % 97) AS msgid, "
+            "'evt ' || event_type || ' #' || event_id || chr(10) AS message, "
+            "(length('evt ' || event_type || ' #' || event_id) + 1)::BIGINT "
+            "AS msg_length, "
+            "'2024-01-' || lpad((1 + event_id % 28)::VARCHAR, 2, '0') || ' ' "
+            "|| lpad((event_id % 14)::VARCHAR, 2, '0') || ':' "
+            "|| lpad(((event_id * 11) % 60)::VARCHAR, 2, '0') || ':' "
+            "|| lpad(((event_id * 29) % 60)::VARCHAR, 2, '0') AS msg_ts_str "
+            "FROM events"
+        ),
         "ann_ivf_reduced_probe": _ann_ivf_reduced_probe_oracle_sql(),
         "ann_lsh_bucketed": _ann_lsh_bucketed_oracle_sql(),
         "embedding_near_dups_lsh": _embedding_near_dups_lsh_oracle_sql(),
