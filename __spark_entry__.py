@@ -953,6 +953,32 @@ def q_streaming_hourly_counts(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The composite training-corpus curation story in ONE gated query:
+    quality-filter (token count ≥ 10) → MinHash-LSH near-dup pairs with
+    exact bucket-local Jaccard verify (J ≥ 0.9) → star-alternation
+    connected components → keep only each cluster's canonical (min-id)
+    doc.  Every stage is an already-oracled operator; the composition's
+    oracle is the quality-filtered recursive min-reachable-id CTE with
+    the same shingle arithmetic.  Returns the kept doc ids."""
+    from go_parsesyslog_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+    docs_q = docs.filter(toks >= 10)
+    pairs = minhash_lsh_jaccard_pairs(
+        docs_q, num_hashes=64, bands=16, threshold=(9, 10)
+    )
+    clusters = dedup_clusters(docs_q, pairs)
+    kept = clusters.filter(F.col("doc_id") == F.col("canonical_id"))
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def q_streaming_dedup_keys(spark, sf_dir):
     """Streaming exact dedup through the driver gate: the events table
     fed twice (streaming self-union, one microbatch) through
@@ -1034,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "label_centroids": q_label_centroids,
+        "corpus_curation": q_corpus_curation,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
     }
@@ -1369,6 +1396,34 @@ def oracle_sql() -> dict[str, str]:
             "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings) "
             "SELECT label, pos::BIGINT AS pos, count(*)::BIGINT AS n_vecs, "
             "round(avg(val), 5) AS centroid_val FROM e GROUP BY label, pos"
+        ),
+        "corpus_curation": (
+            # quality-filtered variant of the dedup_clusters oracle:
+            # recursive min-reachable-id over the brute-force J>=0.9
+            # graph restricted to docs with >= 10 whitespace tokens;
+            # kept docs are their own canonical id
+            "WITH RECURSIVE "
+            "dq AS (SELECT doc_id, text FROM documents "
+            "WHERE len(string_split_regex(trim(text), '\\s+')) >= 10), "
+            "n AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) AS t FROM dq), "
+            "s AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, length(t) - 4), i -> "
+            "('0x' || substr(md5(substring(t, i, 5)), 1, 15))::BIGINT)) "
+            "AS sh FROM n WHERE length(t) >= 5), "
+            "p AS (SELECT a.doc_id AS pa, b.doc_id AS pb "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0 AND "
+            "len(list_intersect(a.sh, b.sh)) * 10 >= "
+            "len(list_distinct(list_concat(a.sh, b.sh))) * 9), "
+            "e AS (SELECT pa AS a, pb AS b FROM p "
+            "UNION SELECT pb, pa FROM p), "
+            "reach(node, lbl) AS ("
+            "SELECT doc_id, doc_id FROM dq "
+            "UNION "
+            "SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node) "
+            "SELECT node::BIGINT AS doc_id FROM reach "
+            "GROUP BY node HAVING node = min(lbl)"
         ),
         "streaming_dedup_keys": (
             "SELECT DISTINCT event_id::BIGINT AS event_id, "

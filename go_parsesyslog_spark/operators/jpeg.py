@@ -28,7 +28,12 @@ import struct
 
 import numpy as np
 
-JPEG_MAX_PIXELS = 64 << 20  # same bound as PNG_MAX_PIXELS
+# Unlike PNG (vectorized unfilters — memory is the binding resource),
+# the JPEG Huffman loop is per-coefficient Python: ~1M px ≈ tens of
+# seconds.  The cap therefore bounds TIME as well as memory at a
+# feature-grade size; deployments decoding large photos should mount a
+# real codec library and bypass this decoder.
+JPEG_MAX_PIXELS = 2 << 20  # 2 MP
 
 # ---------------------------------------------------------------------------
 # shared constants
