@@ -254,7 +254,13 @@ def availablenow_dedup_keys(
         )
         return s.withColumn("ts", F.col("ts").cast("timestamp"))
 
-    doubled = src().unionByName(src())
+    # prune BEFORE the stateful operator: only the output columns (and
+    # the event-time column) flow through the dedup shuffle and state,
+    # not the full row (value/props would double the streamed bytes)
+    doubled = (
+        src().select("event_id", "user_id", "event_type", "ts")
+        .unionByName(src().select("event_id", "user_id", "event_type", "ts"))
+    )
     deduped = stream_dedup_exact(
         doubled, ["event_id"], ts_col="ts", watermark=watermark
     ).select("event_id", "user_id", "event_type")
