@@ -350,6 +350,41 @@ def test_ivf_sample_not_layout_biased(spark):
     assert counts[0] >= 200, f"skewed occupancy: {counts}"
 
 
+def _plan_of(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def test_label_centroids_plan_one_shuffle(spark, emb):
+    """Plan pin: the centroid aggregation must be ONE hash exchange on
+    (label, pos) with a map-side partial aggregate below it — the
+    shape that spreads a hot label over dim reducers and ships partial
+    sums, not rows."""
+    from go_parsesyslog_spark.operators.similarity import label_centroids
+
+    import re
+
+    plan = _plan_of(label_centroids(emb))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, plan
+    assert "partial_avg" in plan, plan
+    ex_line = [ln for ln in plan.splitlines()
+               if "Arguments: hashpartitioning" in ln]
+    assert ex_line and "label" in ex_line[0] and "pos" in ex_line[0], plan
+
+
+def test_bpe_token_stats_plan_no_shuffle(spark, sf_dir):
+    """Plan pin: the pretokenizer counts are a pure narrow projection —
+    single 2-column parquet scan, zero exchanges."""
+    import __spark_entry__ as E
+
+    plan = _plan_of(E.queries()["bpe_token_stats"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
 def test_label_centroids_match_numpy(spark, emb):
     """Element-wise per-label mean via the narrow posexplode shuffle
     must equal the numpy groupwise mean exactly (double agreement)."""
