@@ -41,6 +41,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir (names, sizes,
+    mtimes) — invalidates /tmp materializations when the driver
+    regenerates the testdata between rounds (stale cached wire files
+    would otherwise fail the oracle with confusing hash mismatches)."""
+    import hashlib
+    import os
+
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def _materialize_once(spark, sf_dir: str, out_prefix: str, build) -> str:
+    """Write-once /tmp materialization keyed by the events table's
+    fingerprint; rebuilt whenever the source changes."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/{out_prefix}_{tag}"
+    marker = os.path.join(path, "_GPS_COMPLETE")
+    fp = _source_fingerprint(f"{sf_dir}/events.parquet")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != fp
+    if stale:
+        build(path)
+        with open(marker, "w") as f:
+            f.write(fp)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # wire-text constructors (Spark side) — the SQL oracles mirror the same
 # arithmetic; see each oracle string.
@@ -734,22 +773,17 @@ def q_read_syslog_lines(spark, sf_dir):
     reconstruction; event identity is recovered from the message tail
     (files have no row ids — ordering is carried in-band, exactly like
     real log shipping)."""
-    import os
-
     from go_parsesyslog_spark.functions.priority import (
         facility_name,
         severity_name,
     )
     from go_parsesyslog_spark.sources.rawlog import read_syslog
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/tmp/gps_rawlog_{tag}"
-    marker = os.path.join(path, "_GPS_COMPLETE")
-    if not os.path.exists(marker):
+    def build(path):
         ev = _with_rfc3164_text(_t(spark, sf_dir, "events"))
         ev.select("text").write.mode("overwrite").text(path)
-        with open(marker, "w") as f:
-            f.write("ok")
+
+    path = _materialize_once(spark, sf_dir, "gps_rawlog", build)
     p = read_syslog(spark, path, fmt="rfc3164", framing="lines",
                     ref_now=REF_NOW)
     return p.select(
@@ -779,20 +813,15 @@ def q_read_syslog_octet(spark, sf_dir):
     semantics, rfc3164.go:101), so frames are contiguous and every
     parsed message ends with the newline, which the oracle mirrors
     with ``|| chr(10)``."""
-    import os
-
     from go_parsesyslog_spark.sources.rawlog import read_syslog
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/tmp/gps_rawlog5424_{tag}"
-    marker = os.path.join(path, "_GPS_COMPLETE")
-    if not os.path.exists(marker):
+    def build(path):
         ev = _with_rfc5424_text(
             _t(spark, sf_dir, "events"), frame_extra=F.lit(1)
         )
         ev.select("text").write.mode("overwrite").text(path)
-        with open(marker, "w") as f:
-            f.write("ok")
+
+    path = _materialize_once(spark, sf_dir, "gps_rawlog5424", build)
     p = read_syslog(spark, path, fmt="rfc5424", framing="octet")
     return p.select(
         F.regexp_extract("message", r"#(\d+)\n$", 1).cast("long")
