@@ -223,3 +223,47 @@ def test_salting_splits_hot_conversations(spark, input_dir):
         .select("salt").distinct().collect()
     )
     assert [row["salt"] for row in cold_salts] == [0]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory, sf_dir):
+    """Co-located join: two tables bucketed on the same key must
+    sort-merge join with ZERO exchanges — the write-once-shuffle-never
+    pattern for repeated big-big joins at 100 TB."""
+    import re
+
+    from go_parsesyslog_spark.sources.tableformat import write_bucketed
+
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    write_bucketed(ev.select("event_id", "user_id", "event_type"),
+                   "gps_bk_a", ["user_id"], 8, sort_cols=["user_id"],
+                   path=f"{base}/a")
+    write_bucketed(ev.select("event_id", "user_id", "ts"),
+                   "gps_bk_b", ["user_id"], 8, sort_cols=["user_id"],
+                   path=f"{base}/b")
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("gps_bk_a").join(
+                spark.table("gps_bk_b"), "user_id"
+            )
+            plan = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+            assert "SortMergeJoin" in plan, plan
+            # and it actually computes the right thing
+            n = joined.count()
+            want = (
+                ev.select("event_id", "user_id").alias("a")
+                .join(ev.select("event_id", "user_id").alias("b"), "user_id")
+                .count()
+            )
+            assert n == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gps_bk_a")
+        spark.sql("DROP TABLE IF EXISTS gps_bk_b")
