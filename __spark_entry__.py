@@ -1027,6 +1027,28 @@ def q_streaming_dedup_keys(spark, sf_dir):
     )
 
 
+def q_streaming_session_windows(spark, sf_dir):
+    """Native streaming sessionization (session_window) through the
+    driver gate: per-user merging session windows with a 30-minute gap,
+    append mode emitting only sessions closed by the final watermark.
+    The oracle replays the gap-break rule and the closure predicate in
+    SQL."""
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_session_windows,
+    )
+
+    out = availablenow_session_windows(
+        spark, f"{sf_dir}/events.parquet",
+        gap="30 minutes", watermark="30 minutes",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct wire messages from sf0.001 events, run the
     full parse→enrich→aggregate DAG, return per-class hourly counts."""
@@ -1092,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
+        "streaming_session_windows": q_streaming_session_windows,
     }
 
 
@@ -1457,6 +1480,27 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_keys": (
             "SELECT DISTINCT event_id::BIGINT AS event_id, "
             "user_id::BIGINT AS user_id, event_type FROM events"
+        ),
+        "streaming_session_windows": (
+            # session_window semantics: windows [first, last+gap) merge
+            # only when they OVERLAP, so a gap of EXACTLY 30 min starts
+            # a new session (>=, unlike the batch sessionize query's >);
+            # append mode emits sessions with window_end <= final
+            # watermark (max ts - delay)
+            "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS "
+            "NULL OR date_diff('second', lag(ts) OVER w, ts) >= 1800 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY "
+            "user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "s AS (SELECT user_id, min(ts) AS ss, "
+            "max(ts) + INTERVAL 30 MINUTE AS se, count(*)::BIGINT AS "
+            "n_events FROM g GROUP BY user_id, sid) "
+            "SELECT user_id::BIGINT AS user_id, "
+            "strftime(ss, '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(se, '%Y-%m-%d %H:%M:%S') AS session_end, n_events "
+            "FROM s WHERE se <= (SELECT max(ts) - INTERVAL 30 MINUTE "
+            "FROM events)"
         ),
         "multi_message_split": " UNION ALL ".join(
             "SELECT event_id::BIGINT AS event_id, "

@@ -284,6 +284,70 @@ def availablenow_dedup_keys(
     return result
 
 
+def availablenow_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """NATIVE streaming sessionization through the driver gate:
+    ``session_window(ts, gap)`` — Spark's built-in merging session
+    windows — per user over a streamed table, append mode, availableNow.
+    A session's window is [first event, last event + gap); append mode
+    emits exactly the sessions CLOSED by the final watermark
+    (window_end ≤ max(ts) − delay) and withholds still-open ones —
+    real streaming semantics, SQL-mirrored by the gap-break CTE oracle.
+    Complements the batch ``sessionize`` query (same gap rule) and the
+    custom ``applyInPandasWithState`` conv-state operator: this is the
+    declarative, state-store-backed path Catalyst can optimize."""
+    global _memory_sink_counter
+    import os
+    import tempfile
+
+    _memory_sink_counter += 1
+    name = f"stream_session_windows_{_memory_sink_counter}"
+    schema = spark.read.parquet(events_path).schema
+    stream_path = events_path
+    if not os.path.isdir(events_path):
+        stream_path = events_path[:-1] + "[" + events_path[-1] + "]"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(stream_path)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    sessions = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"gps_stream_ckpt_{name}_")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name)
+    rows = sink.collect()
+    result = spark.createDataFrame(rows, sink.schema)
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    return result.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 _CONV_STATE_SCHEMA = "turns long, errors long, last_turn_idx long"
 _CONV_OUT_SCHEMA = (
     "conv_id string, turns long, errors long, last_turn_idx long"

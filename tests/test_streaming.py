@@ -276,6 +276,53 @@ def test_streaming_dedup_exact(spark, sf_dir):
     assert n_got == len(want)  # exactly once per key, no dup emission
 
 
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """Native session_window streaming sessionization must equal the
+    batch gap-break computation on the closed-session prefix, with the
+    merging rule's exact semantics (gap == threshold starts a NEW
+    session: windows merge only when they overlap)."""
+    from pyspark.sql import Window as W
+
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_session_windows,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in availablenow_session_windows(spark, path).collect()
+    }
+    ev = spark.read.parquet(path).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+           >= 1800),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("sid", F.sum(brk).over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("ss"),
+             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("se"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("c")
+    ).collect()[0]["c"]
+    want = {
+        (r.user_id,
+         r.ss.strftime("%Y-%m-%d %H:%M:%S"),
+         r.se.strftime("%Y-%m-%d %H:%M:%S")): r.n
+        for r in sess.collect() if r.se <= cutoff
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_availablenow_result_survives_next_call(spark, sf_dir):
     """ADVICE r3: the returned DataFrame must stay valid after a LATER
     invocation (the r3 version dropped the previous memory-sink view on
