@@ -1008,6 +1008,30 @@ def q_corpus_curation(spark, sf_dir):
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_train_val_split(spark, sf_dir):
+    """Leakage-safe deterministic train/val split: the split is keyed
+    on the GROUP (user_id), not the row, so every event of a user lands
+    in the same split — the grouping that prevents train/test
+    contamination in session-correlated data.  The hash is md5-prefix
+    arithmetic (engine-agnostic, unlike xxhash64 which DuckDB lacks),
+    so the assignment is bit-identical everywhere and stable across
+    runs/partitionings: 90/10 by first 8 md5 hex digits mod 100."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 100
+    )
+    split = F.when(bucket < 90, "train").otherwise("val")
+    return (
+        ev.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
 def q_streaming_dedup_keys(spark, sf_dir):
     """Streaming exact dedup through the driver gate: the events table
     fed twice (streaming self-union, one microbatch) through
@@ -1112,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "label_centroids": q_label_centroids,
         "corpus_curation": q_corpus_curation,
+        "train_val_split": q_train_val_split,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -1448,6 +1473,14 @@ def oracle_sql() -> dict[str, str]:
             "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings) "
             "SELECT label, pos::BIGINT AS pos, count(*)::BIGINT AS n_vecs, "
             "round(avg(val), 5) AS centroid_val FROM e GROUP BY label, pos"
+        ),
+        "train_val_split": (
+            "WITH s AS (SELECT user_id, CASE WHEN "
+            "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 100 "
+            "< 90 THEN 'train' ELSE 'val' END AS split FROM events) "
+            "SELECT split, count(*)::BIGINT AS n_events, "
+            "count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM s GROUP BY split"
         ),
         "corpus_curation": (
             # quality-filtered variant of the dedup_clusters oracle:
