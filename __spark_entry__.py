@@ -1063,7 +1063,7 @@ def q_streaming_session_windows(spark, sf_dir):
 
     out = availablenow_session_windows(
         spark, f"{sf_dir}/events.parquet",
-        gap="30 minutes", watermark="30 minutes",
+        gap="30 minutes", watermark="30 minutes", user_mod=4,
     )
     return out.select(
         F.col("user_id").cast("long").alias("user_id"),
@@ -1522,7 +1522,7 @@ def oracle_sql() -> dict[str, str]:
             # watermark (max ts - delay)
             "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS "
             "NULL OR date_diff('second', lag(ts) OVER w, ts) >= 1800 "
-            "THEN 1 ELSE 0 END AS brk FROM events "
+            "THEN 1 ELSE 0 END AS brk FROM events WHERE user_id % 4 = 0 "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
             "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY "
             "user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
@@ -1533,7 +1533,7 @@ def oracle_sql() -> dict[str, str]:
             "strftime(ss, '%Y-%m-%d %H:%M:%S') AS session_start, "
             "strftime(se, '%Y-%m-%d %H:%M:%S') AS session_end, n_events "
             "FROM s WHERE se <= (SELECT max(ts) - INTERVAL 30 MINUTE "
-            "FROM events)"
+            "FROM events WHERE user_id % 4 = 0)"
         ),
         "multi_message_split": " UNION ALL ".join(
             "SELECT event_id::BIGINT AS event_id, "

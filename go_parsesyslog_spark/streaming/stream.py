@@ -289,6 +289,7 @@ def availablenow_session_windows(
     events_path: str,
     gap: str = "30 minutes",
     watermark: str = "30 minutes",
+    user_mod: int | None = None,
 ) -> DataFrame:
     """NATIVE streaming sessionization through the driver gate:
     ``session_window(ts, gap)`` — Spark's built-in merging session
@@ -316,6 +317,8 @@ def availablenow_session_windows(
         .parquet(stream_path)
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
     )
+    if user_mod is not None:
+        src = src.filter(F.col("user_id") % user_mod == 0)
     sessions = (
         src.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
