@@ -15,12 +15,15 @@ REAL decode kernels (pure numpy, no codec libraries needed):
   scanline unfilters (this file).
 * **baseline JPEG** — Huffman + dequant + IDCT in numpy, 4:2:0
   upsampling, restart markers (operators/jpeg.py).
+* **MJPEG-AVI video** — RIFF container walk + per-frame JPEG decode +
+  temporal luma/motion features (operators/avi.py).
 
-Only video (mp4/h264) genuinely requires a codec library absent from
-this container (ffmpeg) and stays honestly stubbed: with
-``fake=False`` it surfaces a per-row error (never throws the job);
-``fake=True`` (default) substitutes a deterministic sha256-derived
-feature so the distributed plumbing is exercised end-to-end either way.
+Only inter-frame-compressed video (mp4/h264) genuinely requires a
+codec library absent from this container (ffmpeg) and stays honestly
+stubbed: with ``fake=False`` it surfaces a per-row error (never throws
+the job); ``fake=True`` (default) substitutes a deterministic
+sha256-derived feature so the distributed plumbing is exercised
+end-to-end either way.
 
 The Spark-side machinery — schema, partition-friendly batch iteration,
 frame-sampling fan-out — is real and tested for all kinds.
@@ -396,11 +399,18 @@ def decode_features(payload: bytes, kind: str, mime: str,
     if mime in ("image/bmp", "image/x-ms-bmp", "image/png",
                 "image/jpeg", "image/jpg"):
         return image_features(payload)
+    if mime in ("video/avi", "video/x-msvideo") or (
+        kind == "video" and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    ):
+        from go_parsesyslog_spark.operators.avi import video_features
+
+        return video_features(payload)
     if not fake:
         raise NotImplementedError(
             f"decoding {mime} requires codec libraries not present in "
-            "this environment (ffmpeg); WAV, BMP, PNG and baseline "
-            "JPEG decode natively"
+            "this environment (ffmpeg); WAV, BMP, PNG, baseline JPEG "
+            "and MJPEG-AVI video decode natively"
         )
     return _fake_feature(payload)
 
@@ -430,6 +440,17 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             w, h = 16 + i % 16, 12 + i % 8
             payload = synth_bmp(w, h, seed=i)
             mime, dur = "image/bmp", None
+        elif i % 6 == 2:  # video: real MJPEG-AVI for a third of rows
+            from go_parsesyslog_spark.operators.avi import encode_avi
+
+            frng = np.random.default_rng(i)
+            w, h, n_frames = 16, 12, 3 + i % 3
+            payload = encode_avi(
+                [frng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                 for _ in range(n_frames)],
+                fps=5 + i % 5,
+            )
+            mime, dur = "video/x-msvideo", (3 + i % 3) * 200
         else:
             payload = rng.integers(0, 256, 128 + (i % 64),
                                    dtype=np.uint8).tobytes()

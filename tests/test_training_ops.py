@@ -671,6 +671,59 @@ def test_jpeg_decode_roundtrip():
         decode_jpeg(huge)
 
 
+def test_avi_mjpeg_video_roundtrip():
+    """MJPEG-AVI video decode is REAL (RIFF walk + the numpy JPEG
+    decoder per frame): an encoded frame sequence round-trips to the
+    source pixels within JPEG tolerance, temporal features see the
+    planted motion, and corrupt/oversized payloads are per-row
+    ValueErrors."""
+    import numpy as np
+
+    from go_parsesyslog_spark.operators.avi import (
+        AVI_MAX_FRAMES,
+        decode_avi_frames,
+        encode_avi,
+        parse_avi,
+        video_features,
+    )
+
+    rng = np.random.default_rng(9)
+    x = np.linspace(0, 255, 24)[None, :, None]
+    frames = [
+        np.ascontiguousarray(np.clip(
+            x + i * 20 + rng.normal(0, 3, (18, 24, 3)), 0, 255
+        ).astype(np.uint8))
+        for i in range(6)
+    ]
+    avi = encode_avi(frames, fps=10)
+    meta = parse_avi(avi)
+    assert meta["total_frames"] == 6 and meta["us_per_frame"] == 100000
+    dec = decode_avi_frames(avi)
+    assert len(dec) == 6
+    for a, b in zip(frames, dec):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 8
+    fv = video_features(avi)
+    assert fv[0] == 6.0 and fv[1] == 10.0 and fv[2] == 24.0 and fv[3] == 18.0
+    assert fv[9] > 0.05  # planted brightness motion is visible
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"not a video")
+    with pytest.raises(ValueError, match="no MJPEG frames"):
+        parse_avi(b"RIFF\x04\x00\x00\x00AVI ")
+    # hostile frame-count: a movi list with too many chunks refuses
+    import struct as _struct
+
+    def chunk(cc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cc + _struct.pack("<I", len(body)) + body + pad
+
+    movi = b"".join(chunk(b"00dc", b"x") for _ in range(AVI_MAX_FRAMES + 1))
+    hostile = b"RIFF" + _struct.pack(
+        "<I", 4 + 12 + len(movi)
+    ) + b"AVI " + chunk(b"LIST", b"movi" + movi)
+    with pytest.raises(ValueError, match="more than"):
+        parse_avi(hostile)
+
+
 def test_png_hostile_payloads_bounded(spark):
     """ADVICE r3: untrusted PNG headers/streams must not allocate
     unbounded memory or escape the per-row (ok, err) contract —
@@ -734,22 +787,26 @@ def test_multimodal_plumbing(spark):
     rows = feats.collect()
     assert len(rows) == 30
     assert all(r["ok"] for r in rows)
-    # wav → 8-dim real features, bmp → 16-dim real features,
-    # video (no codec) → 8-dim deterministic fake
-    bykind = {r["media_id"]: r for r in rows}
+    # wav → 8-dim real, bmp/png/jpeg → 16-dim real, MJPEG-AVI video →
+    # 12-dim real temporal features, mp4 video → 8-dim deterministic fake
+    mimes = {r["media_id"]: r["mime"]
+             for r in media.select("media_id", "mime").collect()}
     for r in rows:
-        want = {"audio": 8, "image": 16, "video": 8}[r["kind"]]
-        assert len(r["feature"]) == want, r["kind"]
+        if r["kind"] == "video":
+            want = 12 if mimes[r["media_id"]] == "video/x-msvideo" else 8
+        else:
+            want = {"audio": 8, "image": 16}[r["kind"]]
+        assert len(r["feature"]) == want, (r["kind"], mimes[r["media_id"]])
     # determinism: same payload → same feature
     again = {r["media_id"]: r["feature"] for r in
              extract_features(media, fake=True).collect()}
     for r in rows:
         assert again[r["media_id"]] == r["feature"]
-    # with fake=False, WAV and BMP still decode FOR REAL; only the
-    # codec-requiring video rows surface a per-row error
+    # with fake=False, WAV/BMP/JPEG *and MJPEG-AVI* decode FOR REAL;
+    # only the codec-requiring mp4 rows surface a per-row error
     strict = extract_features(media, fake=False).collect()
     for r in strict:
-        if r["kind"] == "video":
+        if r["kind"] == "video" and mimes[r["media_id"]] == "video/mp4":
             assert not r["ok"] and r["err"]
         else:
             assert r["ok"], (r["kind"], r["err"])
