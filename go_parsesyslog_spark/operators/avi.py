@@ -117,6 +117,85 @@ def video_features(payload: bytes, sample_every: int = 2) -> list[float]:
     ]
 
 
+MP4_MAX_BOXES = 4096  # hostile-payload bound on box traversal
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO-BMFF (mp4/mov) METADATA parse — box walk only, no decode.
+
+    Pixel decode of h264/h265 genuinely needs ffmpeg and stays stubbed,
+    but the container metadata a media pipeline routes on — duration,
+    timescale, track count, video dimensions, sample-entry fourcc —
+    lives in plain big-endian boxes (ftyp/moov/mvhd/trak/tkhd/stsd) and
+    parses codec-free.  Returns {brand, duration_ms, n_tracks, width,
+    height, codecs:[fourcc,...]}."""
+    n = len(payload)
+    if n < 8:
+        raise ValueError("not an ISO-BMFF payload (too short)")
+    out = {"brand": None, "duration_ms": 0, "n_tracks": 0,
+           "width": 0, "height": 0, "codecs": []}
+    boxes_seen = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal boxes_seen
+        pos = start
+        while pos + 8 <= end:
+            boxes_seen += 1
+            if boxes_seen > MP4_MAX_BOXES:
+                raise ValueError("mp4 box bomb: too many boxes")
+            (size,) = struct.unpack(">I", payload[pos:pos + 4])
+            btype = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    break
+                (size,) = struct.unpack(">Q", payload[pos + 8:pos + 16])
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < 8 or pos + size > end:
+                raise ValueError("corrupt mp4 box size")
+            if btype == b"ftyp":
+                out["brand"] = payload[body:body + 4].decode(
+                    "ascii", errors="replace")
+            elif btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, pos + size)
+            elif btype == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack(
+                        ">IQ", payload[body + 20:body + 32])
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[body + 12:body + 20])
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif btype == b"tkhd":
+                out["n_tracks"] += 1
+                ver = payload[body]
+                off = body + (96 if ver == 1 else 84)
+                if off + 8 <= pos + size:
+                    w, h = struct.unpack(">II", payload[off:off + 8])
+                    # 16.16 fixed point; the video track has nonzero dims
+                    if w and h:
+                        out["width"] = w >> 16
+                        out["height"] = h >> 16
+            elif btype == b"stsd":
+                cnt_off = body + 4
+                if cnt_off + 4 <= pos + size:
+                    entry = cnt_off + 4
+                    if entry + 8 <= pos + size:
+                        fourcc = payload[entry + 4:entry + 8].decode(
+                            "ascii", errors="replace")
+                        out["codecs"].append(fourcc)
+            pos += size
+
+    walk(0, n)
+    if out["brand"] is None and out["n_tracks"] == 0:
+        raise ValueError("no ISO-BMFF boxes found (not an mp4?)")
+    return out
+
+
 def encode_avi(
     frames: list[np.ndarray], fps: int = 10, quality_scale: float = 0.04
 ) -> bytes:

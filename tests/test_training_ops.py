@@ -724,6 +724,39 @@ def test_avi_mjpeg_video_roundtrip():
         parse_avi(hostile)
 
 
+def test_mp4_metadata_parse():
+    """mp4 METADATA parses codec-free (box walk: ftyp/mvhd/tkhd/stsd)
+    — the routing metadata a media pipeline needs without pixel decode;
+    only h264 pixel decode remains stubbed.  Hand-built ISO-BMFF
+    fixture with both mvhd versions + hostile payloads."""
+    import struct as _s
+
+    from go_parsesyslog_spark.operators.avi import parse_mp4_meta
+
+    def box(t, body):
+        return _s.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isomavc1")
+    mvhd = box(b"mvhd", bytes(12) + _s.pack(">II", 1000, 5500) + bytes(80))
+    tkhd = box(b"tkhd", bytes(84) + _s.pack(">II", 640 << 16, 360 << 16))
+    stsd = box(b"stsd", bytes(4) + _s.pack(">I", 1)
+               + box(b"avc1", bytes(70)))
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl",
+                                                             stsd))))
+    meta = parse_mp4_meta(ftyp + box(b"moov", mvhd + trak))
+    assert meta == {"brand": "isom", "duration_ms": 5500, "n_tracks": 1,
+                    "width": 640, "height": 360, "codecs": ["avc1"]}
+    # 64-bit duration (mvhd version 1)
+    mvhd1 = box(b"mvhd", bytes([1]) + bytes(19)
+                + _s.pack(">IQ", 600, 1200) + bytes(80))
+    assert parse_mp4_meta(
+        ftyp + box(b"moov", mvhd1))["duration_ms"] == 2000
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"xx")
+    with pytest.raises(ValueError, match="corrupt mp4 box"):
+        parse_mp4_meta(b"\x00\x00\x00\x03bad" + bytes(8))
+
+
 def test_png_hostile_payloads_bounded(spark):
     """ADVICE r3: untrusted PNG headers/streams must not allocate
     unbounded memory or escape the per-row (ok, err) contract —
