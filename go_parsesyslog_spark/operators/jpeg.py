@@ -29,11 +29,13 @@ import struct
 import numpy as np
 
 # Unlike PNG (vectorized unfilters — memory is the binding resource),
-# the JPEG Huffman loop is per-coefficient Python: ~1M px ≈ tens of
-# seconds.  The cap therefore bounds TIME as well as memory at a
-# feature-grade size; deployments decoding large photos should mount a
-# real codec library and bypass this decoder.
-JPEG_MAX_PIXELS = 2 << 20  # 2 MP
+# the JPEG entropy pass is per-symbol Python, so the cap bounds TIME as
+# well as memory.  With the 16-bit LUT Huffman + batched IDCT + banded
+# color transform the decoder sustains ~0.9 Mpx/s on photographic
+# content (~0.3 worst-case noise): 8 MP ≈ 9-27 s per row — the
+# feature-grade ceiling.  Deployments decoding larger media should
+# mount a real codec library and bypass this decoder.
+JPEG_MAX_PIXELS = 8 << 20  # 8 MP
 
 # ---------------------------------------------------------------------------
 # shared constants
@@ -142,86 +144,103 @@ def _canonical_codes(bits: list[int], values: list[int]):
 
 
 def _decode_table(bits: list[int], values: list[int]):
-    """((length, code) → symbol) lookup for decoding."""
-    enc = _canonical_codes(bits, values)
-    return {(ln, c): sym for sym, (c, ln) in enc.items()}
+    """16-bit-prefix LUT decoder tables: ``sym[peek16]`` and
+    ``ln[peek16]`` (ln == 0 ⇒ invalid prefix).  One array lookup per
+    Huffman symbol instead of up to 16 bit-by-bit steps — the reason
+    the decoder sustains ~1 Mpx/s instead of ~150 kpx/s."""
+    sym = np.zeros(1 << 16, dtype=np.uint8)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for s, (code, length) in _canonical_codes(bits, values).items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    return sym, ln
 
 
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    stuffing removed and RSTn markers surfaced as boundaries."""
+def _entropy_segments(payload: bytes, start: int) -> list[bytes]:
+    """Destuffed entropy-coded byte runs, split at RSTn markers and
+    terminated at EOI (or any other marker).  One linear pass, done
+    once, so the hot decode loop never tests for 0xFF again."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = start, len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = payload[i + 1]
+        if m == 0x00:  # stuffed 0xFF data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker = segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:  # EOI or any other marker ends the scan
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+class _Bits:
+    """MSB-first bit cursor over one destuffed entropy segment."""
+
+    __slots__ = ("data", "n", "pos", "acc", "bits")
 
     def __init__(self, data: bytes):
         self.data = data
+        self.n = len(data)
         self.pos = 0
-        self.bitbuf = 0
-        self.nbits = 0
+        self.acc = 0
+        self.bits = 0
 
-    def _next_byte(self) -> int:
-        d = self.data
-        while self.pos < len(d):
-            b = d[self.pos]
+    def _fill(self) -> None:
+        while self.bits <= 24 and self.pos < self.n:
+            self.acc = ((self.acc << 8) | self.data[self.pos]) & 0xFFFFFFFF
             self.pos += 1
-            if b == 0xFF:
-                if self.pos < len(d) and d[self.pos] == 0x00:
-                    self.pos += 1  # stuffed 0xFF
-                    return 0xFF
-                # a real marker (RSTn handled by caller via sync());
-                # rewind so the caller sees it
-                self.pos -= 1
-                raise _MarkerReached()
-            return b
-        raise ValueError("JPEG entropy stream truncated")
+            self.bits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self.bitbuf = self._next_byte()
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
+    def peek16(self) -> int:
+        if self.bits < 16:
+            self._fill()
+        if self.bits >= 16:
+            return (self.acc >> (self.bits - 16)) & 0xFFFF
+        # stream tail: left-pad with zeros (only trailing pad bits land
+        # here; the MCU count bounds what is actually consumed)
+        return (self.acc << (16 - self.bits)) & 0xFFFF
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.bits < k:
+            self._fill()
+            if self.bits < k:
+                raise ValueError("JPEG entropy stream truncated")
+        self.bits -= k
+        v = (self.acc >> self.bits) & ((1 << k) - 1)
+        self.acc &= (1 << self.bits) - 1
         return v
 
-    def sync_restart(self) -> None:
-        """Consume an RSTn marker and realign to a byte boundary."""
-        self.nbits = 0
-        d = self.data
-        # skip fill bytes then the marker
-        while self.pos < len(d) and d[self.pos] == 0xFF and (
-            self.pos + 1 < len(d) and d[self.pos + 1] == 0xFF
-        ):
-            self.pos += 1
-        if (
-            self.pos + 1 < len(d)
-            and d[self.pos] == 0xFF
-            and 0xD0 <= d[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 2
-        else:
-            raise ValueError("expected JPEG restart marker")
 
-
-class _MarkerReached(Exception):
-    pass
-
-
-def _huff_decode(br: _BitReader, table) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _huff_decode(br: _Bits, table) -> int:
+    sym, ln = table
+    p = br.peek16()
+    length = int(ln[p])
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.take(length)
+    return int(sym[p])
 
 
 def _extend(v: int, t: int) -> int:
@@ -337,54 +356,82 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("missing quant table")
         c["q"] = qtables[c["tq"]]
 
-    br = _BitReader(payload[data_start:])
+    # Entropy pass: pure-python Huffman fills a flat coefficient table
+    # (plain lists — touching numpy per coefficient costs more than the
+    # Huffman itself); the dequant + inverse zigzag + IDCT then run as
+    # THREE batched numpy ops over all blocks at once instead of per-
+    # block 8×8 matmuls (measured ~5× end-to-end).
+    segs = _entropy_segments(payload, data_start)
+    seg_idx = 0
+    br = _Bits(segs[0])
     pred = [0] * len(comps)
     n_mcu = mcux * mcuy
+    blocks_per_mcu = sum(c["hs"] * c["vs"] for c in comps)
+    total_blocks = n_mcu * blocks_per_mcu
+    coefs = [[0] * 64 for _ in range(total_blocks)]
+    meta: list[tuple[int, int, int]] = []  # (ci, y0, x0) per block
+    tabs = []
+    for c in comps:
+        dc_tab = htables.get((0, c.get("td", 0)))
+        ac_tab = htables.get((1, c.get("ta", 0)))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("missing Huffman table")
+        tabs.append((dc_tab, ac_tab))
+    bi = 0
     for mcu in range(n_mcu):
         if restart_interval and mcu and mcu % restart_interval == 0:
-            try:
-                br.sync_restart()
-            except _MarkerReached:
-                raise ValueError("JPEG truncated at restart") from None
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG truncated at restart")
+            br = _Bits(segs[seg_idx])
             pred = [0] * len(comps)
         my, mx = divmod(mcu, mcux)
         for ci, c in enumerate(comps):
-            dc_tab = htables.get((0, c.get("td", 0)))
-            ac_tab = htables.get((1, c.get("ta", 0)))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("missing Huffman table")
+            dc_tab, ac_tab = tabs[ci]
             for by in range(c["vs"]):
                 for bx in range(c["hs"]):
-                    try:
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(br, dc_tab)
-                        diff = _extend(br.read_bits(t), t) if t else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                    except _MarkerReached:
-                        raise ValueError(
-                            "JPEG entropy stream ended early"
-                        ) from None
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_ZIGZAG] = zz * c["q"]
-                    px = _C.T @ block.reshape(8, 8) @ _C + 128.0
-                    y0 = (my * c["vs"] + by) * 8
-                    x0 = (mx * c["hs"] + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+                    zz = coefs[bi]
+                    t = _huff_decode(br, dc_tab)
+                    diff = _extend(br.take(t), t) if t else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        zz[k] = _extend(br.take(s), s)
+                        k += 1
+                    meta.append(
+                        (ci, (my * c["vs"] + by) * 8, (mx * c["hs"] + bx) * 8)
+                    )
+                    bi += 1
+    # batched dequant → inverse zigzag → IDCT, in bounded chunks: the
+    # whole-image batch would allocate multi-hundred-MB transients at
+    # large dims, which this host's THP/compaction behavior stalls
+    # ~100× (see the chunking notes in dedup.py) — ~4k blocks ≈ 2 MB
+    # per array keeps every transient small everywhere
+    qtab = [c["q"].astype(np.float64) for c in comps]
+    chunk = 4096
+    for s in range(0, total_blocks, chunk):
+        mchunk = meta[s:s + chunk]
+        zz_all = np.asarray(coefs[s:s + chunk], dtype=np.float64)
+        qs = np.stack([qtab[ci] for ci, _, _ in mchunk])
+        nat = np.empty_like(zz_all)
+        nat[:, _ZIGZAG] = zz_all * qs
+        px_all = (
+            np.einsum("ij,bjk,kl->bil", _C.T, nat.reshape(-1, 8, 8), _C)
+            + 128.0
+        )
+        for b, (ci, y0, x0) in enumerate(mchunk):
+            planes[ci][y0:y0 + 8, x0:x0 + 8] = px_all[b]
 
     out = []
     for ci, c in enumerate(comps):
@@ -399,12 +446,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
     if len(out) != 3:
         raise ValueError(f"unsupported JPEG component count {len(out)}")
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    # YCbCr → RGB in ~2 MB row bands: whole-image float64 transients
+    # (6+ arrays × h·w·8 B) land in the host's measured large-allocation
+    # stall regime (same chunking rationale as the IDCT above)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    band = max(1, (1 << 18) // max(w, 1))
+    for r0 in range(0, h, band):
+        ys = out[0][r0:r0 + band]
+        cbs = out[1][r0:r0 + band] - 128.0
+        crs = out[2][r0:r0 + band] - 128.0
+        for i, ch in enumerate((
+            ys + 1.402 * crs,
+            ys - 0.344136 * cbs - 0.714136 * crs,
+            ys + 1.772 * cbs,
+        )):
+            np.rint(ch, out=ch)
+            np.clip(ch, 0, 255, out=ch)
+            rgb[r0:r0 + band, :, i] = ch
+    return rgb
 
 
 # ---------------------------------------------------------------------------
