@@ -43,12 +43,14 @@ def _walk_riff(buf: bytes, start: int, end: int):
 def parse_avi(payload: bytes) -> dict:
     """AVI header + MJPEG frame payloads.  Returns dict with
     ``us_per_frame``, ``total_frames`` (header claims), ``width``,
-    ``height``, and ``frames``: the list of raw JPEG byte strings found
-    in the movi LIST (capped at AVI_MAX_FRAMES)."""
+    ``height``, ``frames``: the list of raw JPEG byte strings found
+    in the movi LIST (truncated at AVI_MAX_FRAMES — long-but-valid
+    videos degrade to a prefix feature extraction, never a per-row
+    error), and ``truncated``: whether the cap was hit."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     out = {"us_per_frame": 0, "total_frames": 0, "width": 0, "height": 0,
-           "frames": []}
+           "frames": [], "truncated": False}
 
     def walk(start: int, end: int) -> None:
         for cc, ltype, bs, be in _walk_riff(payload, start, end):
@@ -64,10 +66,8 @@ def parse_avi(payload: bytes) -> dict:
                 out["width"], out["height"] = w, h
             elif cc in (b"00dc", b"00db"):
                 if len(out["frames"]) >= AVI_MAX_FRAMES:
-                    raise ValueError(
-                        f"AVI has more than {AVI_MAX_FRAMES} frames — "
-                        "beyond the feature-grade decode bound"
-                    )
+                    out["truncated"] = True
+                    continue
                 out["frames"].append(payload[bs:be])
 
     walk(12, len(payload))
@@ -77,12 +77,15 @@ def parse_avi(payload: bytes) -> dict:
 
 
 def decode_avi_frames(
-    payload: bytes, sample_every: int = 1
+    payload: bytes, sample_every: int = 1, meta: dict | None = None
 ) -> list[np.ndarray]:
-    """Decode every ``sample_every``-th MJPEG frame to (h, w, 3) RGB."""
+    """Decode every ``sample_every``-th MJPEG frame to (h, w, 3) RGB.
+    Pass a pre-parsed ``meta`` (from parse_avi) to skip re-walking the
+    container."""
     from go_parsesyslog_spark.operators.jpeg import decode_jpeg
 
-    meta = parse_avi(payload)
+    if meta is None:
+        meta = parse_avi(payload)
     return [decode_jpeg(f) for f in meta["frames"][::max(1, sample_every)]]
 
 
@@ -92,7 +95,7 @@ def video_features(payload: bytes, sample_every: int = 2) -> list[float]:
     frames, and the mean absolute luma delta between consecutive sampled
     frames (the motion proxy a frame-dedup/quality pipeline keys on)."""
     meta = parse_avi(payload)
-    frames = decode_avi_frames(payload, sample_every)
+    frames = decode_avi_frames(payload, sample_every, meta=meta)
     lumas = [
         0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
         for f in frames
@@ -173,7 +176,12 @@ def parse_mp4_meta(payload: bytes) -> dict:
             elif btype == b"tkhd":
                 out["n_tracks"] += 1
                 ver = payload[body]
-                off = body + (96 if ver == 1 else 84)
+                # width/height sit at box-start+84 (v0) / +96 (v1);
+                # `body` already points past the 8-byte box header, so
+                # relative to the version byte that is 76 / 88
+                # (4 ver+flags, 20/32 times+id+dur, 16 layer block,
+                # 36 matrix).
+                off = body + (88 if ver == 1 else 76)
                 if off + 8 <= pos + size:
                     w, h = struct.unpack(">II", payload[off:off + 8])
                     # 16.16 fixed point; the video track has nonzero dims

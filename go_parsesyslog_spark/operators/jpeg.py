@@ -307,10 +307,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append(
-                    {"id": cid, "hs": samp >> 4, "vs": samp & 0x0F,
-                     "tq": tq}
-                )
+                hs, vs = samp >> 4, samp & 0x0F
+                # per-component bound (not just the max): a hostile 0
+                # factor would divide-by-zero in the upsampler
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"JPEG component sampling factor {hs}x{vs} "
+                        "out of bounds (must be 1..4)"
+                    )
+                comps.append({"id": cid, "hs": hs, "vs": vs, "tq": tq})
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):

@@ -669,6 +669,13 @@ def test_jpeg_decode_roundtrip():
             + b"\xff\xd9")
     with pytest.raises(ValueError, match="out of bounds"):
         decode_jpeg(huge)
+    # hostile 0 sampling factor must be a ValueError in the SOF
+    # handler, not a ZeroDivisionError in the upsampler
+    zero_samp = (b"\xff\xd8\xff\xc0" + _struct.pack(">H", 11)
+                 + _struct.pack(">BHHB", 8, 16, 16, 1) + b"\x01\x01\x00"
+                 + b"\xff\xd9")
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(zero_samp)
 
 
 def test_avi_mjpeg_video_roundtrip():
@@ -709,19 +716,22 @@ def test_avi_mjpeg_video_roundtrip():
         parse_avi(b"not a video")
     with pytest.raises(ValueError, match="no MJPEG frames"):
         parse_avi(b"RIFF\x04\x00\x00\x00AVI ")
-    # hostile frame-count: a movi list with too many chunks refuses
+    # long-but-valid video: frame list truncates at AVI_MAX_FRAMES
+    # (prefix feature extraction) instead of erroring the whole row
     import struct as _struct
 
     def chunk(cc, body):
         pad = b"\x00" if len(body) % 2 else b""
         return cc + _struct.pack("<I", len(body)) + body + pad
 
-    movi = b"".join(chunk(b"00dc", b"x") for _ in range(AVI_MAX_FRAMES + 1))
-    hostile = b"RIFF" + _struct.pack(
+    movi = b"".join(chunk(b"00dc", b"x") for _ in range(AVI_MAX_FRAMES + 7))
+    long_avi = b"RIFF" + _struct.pack(
         "<I", 4 + 12 + len(movi)
     ) + b"AVI " + chunk(b"LIST", b"movi" + movi)
-    with pytest.raises(ValueError, match="more than"):
-        parse_avi(hostile)
+    meta_long = parse_avi(long_avi)
+    assert len(meta_long["frames"]) == AVI_MAX_FRAMES
+    assert meta_long["truncated"] is True
+    assert meta["truncated"] is False
 
 
 def test_mp4_metadata_parse():
@@ -738,7 +748,9 @@ def test_mp4_metadata_parse():
 
     ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isomavc1")
     mvhd = box(b"mvhd", bytes(12) + _s.pack(">II", 1000, 5500) + bytes(80))
-    tkhd = box(b"tkhd", bytes(84) + _s.pack(">II", 640 << 16, 360 << 16))
+    # spec-conformant v0 tkhd body: 84 bytes total — 4 ver+flags,
+    # 20 times/id/dur, 16 layer block, 36 matrix, then 16.16 w/h at +76
+    tkhd = box(b"tkhd", bytes(76) + _s.pack(">II", 640 << 16, 360 << 16))
     stsd = box(b"stsd", bytes(4) + _s.pack(">I", 1)
                + box(b"avc1", bytes(70)))
     trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl",
@@ -751,6 +763,12 @@ def test_mp4_metadata_parse():
                 + _s.pack(">IQ", 600, 1200) + bytes(80))
     assert parse_mp4_meta(
         ftyp + box(b"moov", mvhd1))["duration_ms"] == 2000
+    # v1 tkhd: 64-bit times/duration push w/h to +88 from the version
+    # byte (96-byte body)
+    tkhd1 = box(b"tkhd", bytes([1]) + bytes(87)
+                + _s.pack(">II", 1920 << 16, 1080 << 16))
+    meta1 = parse_mp4_meta(ftyp + box(b"moov", box(b"trak", tkhd1)))
+    assert (meta1["width"], meta1["height"]) == (1920, 1080)
     with pytest.raises(ValueError):
         parse_mp4_meta(b"xx")
     with pytest.raises(ValueError, match="corrupt mp4 box"):
