@@ -150,6 +150,43 @@ def _banded_keys(
     )
 
 
+def _bucket_pairs(
+    buckets: DataFrame,
+    ids_col: str,
+    member_cap: int,
+    a_name: str,
+    b_name: str,
+) -> DataFrame:
+    """(a, b) pairs with a < b from a frame of sorted-id bucket arrays,
+    in ONE branch: buckets within ``member_cap`` members emit all pairs,
+    larger buckets emit the sorted-adjacent CHAIN only (id₁-id₂, id₂-id₃,
+    …) so output stays O(bucket) while the cluster stays connected.
+
+    Single-branch matters twice over: (a) a small/large filter + union
+    recomputes the whole upstream per side (ReuseExchange does not fire
+    across differing post-filter projections — the r4 minhash plans
+    showed every UDF and the bucket aggregation twice, VERDICT r4 #3);
+    (b) the nested per-element partner arrays bound the generated value
+    to O(n²) ids for capped buckets and O(n) for chain buckets — a
+    mega-bucket never drags its full id array through the explode.
+    """
+    n = F.size(ids_col)
+    ids = F.col(ids_col)
+    # per-element partner slice: everything after me (capped bucket) or
+    # just my successor (chain bucket).  slice() clamps at array end.
+    plen = F.when(n <= member_cap, n).otherwise(F.lit(1))
+    nested = F.transform(
+        F.slice(ids, 1, n - 1),
+        lambda x, i: F.struct(
+            x.alias("a"), F.slice(ids, i + F.lit(2), plen).alias("bs")
+        ),
+    )
+    return (
+        buckets.select(F.explode(nested).alias("e"))
+        .select(F.col("e.a").alias(a_name), F.explode("e.bs").alias(b_name))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -192,23 +229,8 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    small = buckets.filter(F.size("ids") <= bucket_pair_cap)
-    pairs_small = (
-        small.select(F.explode("ids").alias("a"), F.col("ids"))
-        .select("a", F.explode("ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-    )
-    large = buckets.filter(F.size("ids") > bucket_pair_cap)
-    pairs_large = large.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("ids", 1, F.size("ids") - 1).alias("doc_a"),
-                F.slice("ids", 2, F.size("ids") - 1).alias("doc_b"),
-            )
-        ).alias("e")
-    ).select(F.col("e.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b"))
-    return pairs_small.unionByName(pairs_large).distinct()
+    return _bucket_pairs(buckets, "ids", bucket_pair_cap,
+                         "doc_a", "doc_b").distinct()
 
 
 def lsh_bucket_stats(

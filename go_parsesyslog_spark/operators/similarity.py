@@ -417,29 +417,71 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     n_planes: int = 12,
     seed: int = 42,
+    bucket_member_cap: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ threshold), LSH-
-    bucketed so only same-bucket pairs are scored."""
+    bucketed so only same-bucket pairs are scored.
+
+    MEGA-BUCKET BOUND (VERDICT r4 #2 — the last uncapped all-pairs
+    bucket join in the repo): a boilerplate corpus puts thousands of
+    near-identical embeddings in the same bucket in EVERY table, and an
+    uncapped within-bucket self-join is quadratic with the full vectors
+    duplicated per pair.  Buckets above ``bucket_member_cap`` members
+    now emit the sorted-adjacent CHAIN only (the minhash/simhash
+    pattern): O(bucket) candidates that keep the near-dup cluster
+    connected for downstream clustering without enumerating every pair.
+    Audit with :func:`embedding_lsh_bucket_stats` — if ``max(n_vecs)``
+    exceeds the cap, pair completeness for that cluster is chain-only.
+
+    Shape: candidates are generated NARROW (id, bkey only — the r4
+    version dragged every vector through the bucket shuffle ``n_tables``
+    times), deduped across tables, then the vectors join back via two
+    equi-joins for the one JVM-side cosine per surviving pair.
+    """
     sigs = hyperplane_signatures(df, dim, vec_col, n_tables, n_planes, seed)
-    keyed = sigs.select(id_col, vec_col, F.explode("lsh_keys").alias("bkey"))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
-        )
-        .distinct()
+    keyed = sigs.select(id_col, F.explode("lsh_keys").alias("bkey"))
+    buckets = (
+        keyed.groupBy("bkey")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    from go_parsesyslog_spark.operators.dedup import _bucket_pairs
+
+    cand = _bucket_pairs(buckets, "ids", bucket_member_cap,
+                         "id_a", "id_b").distinct()
+    vecs = df.select(id_col, vec_col)
+    pairs = (
+        cand.join(vecs.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed(vec_col, "va"), "id_a")
+        .join(vecs.withColumnRenamed(id_col, "id_b")
+                  .withColumnRenamed(vec_col, "vb"), "id_b")
     )
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        cand.withColumn("sim", sim)
+        pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def embedding_lsh_bucket_stats(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-bucket occupancy for the hyperplane-LSH near-dup path — the
+    audit surface for the mega-bucket chain fallback (mirrors
+    ``lsh_bucket_stats`` for minhash): if ``max(n_vecs)`` exceeds
+    ``bucket_member_cap``, candidate completeness for that cluster
+    degrades to chain edges and callers relying on full recall must
+    know."""
+    sigs = hyperplane_signatures(df, dim, vec_col, n_tables, n_planes, seed)
+    return (
+        sigs.select(F.explode("lsh_keys").alias("bkey"))
+        .groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
     )

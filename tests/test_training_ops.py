@@ -466,6 +466,48 @@ def test_embedding_near_dups_lsh_vs_exact(spark, emb):
     assert lsh == exact  # identical vectors share every bucket
 
 
+def test_embedding_lsh_mega_bucket_cap(spark):
+    """VERDICT r4 #2: a boilerplate corpus (hundreds of identical
+    embeddings → one bucket per table) must NOT go quadratic — above
+    bucket_member_cap the bucket emits sorted-adjacent chain edges
+    only, which still keep the cluster connected; the audit surface
+    reports the oversized bucket."""
+    import numpy as np
+
+    from go_parsesyslog_spark.operators.similarity import (
+        embedding_lsh_bucket_stats,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype("float32")
+    n = 300
+    rows = [(i, [float(x) for x in base]) for i in range(n)]
+    # plus a handful of unrelated vectors that must not pair up
+    rows += [(1000 + i, [float(x) for x in rng.standard_normal(16)])
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = embedding_near_dup_pairs(
+        df, dim=16, threshold=0.999, bucket_member_cap=64
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # chain edges only: exactly n-1 (every table yields the same sorted
+    # chain over the identical vectors; distinct collapses them) —
+    # uncapped all-pairs would be n(n-1)/2 = 44,850
+    assert pairs == {(i, i + 1) for i in range(n - 1)}
+    # connectivity survives for downstream clustering
+    assert all(r["sim"] >= 0.999 for r in out)
+    # audit surface flags the oversized buckets
+    stats = embedding_lsh_bucket_stats(df, dim=16).collect()
+    assert max(r["n_vecs"] for r in stats) >= n
+    # control: with the cap above the bucket size, all pairs come back
+    allp = embedding_near_dup_pairs(
+        df, dim=16, threshold=0.999, bucket_member_cap=4096
+    ).count()
+    assert allp == n * (n - 1) // 2
+
+
 def test_quality_and_tokens(spark):
     from go_parsesyslog_spark.functions.textstats import (
         bpe_ish_token_count,
