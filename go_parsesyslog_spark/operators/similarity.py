@@ -211,6 +211,27 @@ def train_ivf_centroids(
     return cents.astype(np.float32)
 
 
+def load_centroid_fixture(name: str = "ivf_centroids_sf001_c8") -> np.ndarray:
+    """Committed trained-quantizer table (float32, unit-norm) produced by
+    :func:`train_ivf_centroids` on the sf0.01 embeddings corpus with
+    default settings — the PRODUCTION coarse quantizer, frozen so the
+    driver oracle can replay cell assignment + probing against the same
+    values as SQL literals (VERDICT r4 next-#4: the trained-centroid
+    composition was the one pytest-only path in the ANN family).
+    Reproducibility of training itself is pinned by
+    tests/test_training_ops.py::test_trained_centroid_fixture_current."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", f"{name}.json",
+    )
+    with open(path) as f:
+        data = json.load(f)
+    return np.asarray(data["centroids"], dtype=np.float32)
+
+
 def fixed_random_centroids(
     n_cells: int, dim: int, seed: int = 7
 ) -> np.ndarray:

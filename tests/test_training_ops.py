@@ -350,6 +350,26 @@ def test_ivf_sample_not_layout_biased(spark):
     assert counts[0] >= 200, f"skewed occupancy: {counts}"
 
 
+def test_trained_centroid_fixture_current(spark):
+    """The committed quantizer fixture (fixtures/ivf_centroids_sf001_c8
+    .json) must BE the current train_ivf_centroids output on the sf0.01
+    corpus — the ann_ivf_trained driver oracle replays against the
+    fixture, so a trainer change that silently drifts the centroids
+    must fail here, not hash-mismatch in the gate."""
+    import numpy as np
+
+    from go_parsesyslog_spark.operators.similarity import (
+        load_centroid_fixture,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    trained = train_ivf_centroids(emb, dim=64, n_cells=8, seed=42)
+    fixture = load_centroid_fixture()
+    assert fixture.shape == (8, 64) and fixture.dtype == np.float32
+    assert np.array_equal(trained, fixture)
+
+
 def _plan_of(df):
     return df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
