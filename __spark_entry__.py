@@ -1061,6 +1061,59 @@ def q_train_val_split(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.decontaminate):
+    training docs sharing any character 13-gram with the eval slice
+    (doc_id % 97 == 0 stands in for a held-out benchmark) are flagged
+    with their distinct-overlapping-gram count — the GPT-3-style
+    decontamination rule, chars standing in for tokens.  The oracle
+    replays gram extraction + the distinct join in DuckDB."""
+    from go_parsesyslog_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench).select(
+        "doc_id", "n_contaminated_grams"
+    )
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budgeted shard packing (operators/curation.pack_shards):
+    docs in id order packed into 2,000-token shards via the DISTRIBUTED
+    two-phase prefix sum (bucket_width=100 so even sf0.01 exercises the
+    multi-bucket offset path; production default is 10⁶).  The oracle is
+    the single-window SQL formulation the operator must equal exactly."""
+    from go_parsesyslog_spark.operators.curation import pack_shards
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    )
+    return pack_shards(
+        docs, tokens_col="n_tokens", shard_capacity=2000, bucket_width=100
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source mixing-rate sampling (operators/
+    curation.stratified_sample): keep 100% of src0, 50% of src1, 10% of
+    src2, 25% elsewhere, selected by engine-agnostic md5-prefix bucket
+    arithmetic on doc_id (no RNG — stable across runs, partitionings,
+    engines).  The per-source count + id-sum checksum pins the EXACT
+    kept set, and the DuckDB oracle replays the same arithmetic."""
+    from go_parsesyslog_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        strata_col="source", id_col="doc_id", default_fraction=0.25,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 def q_streaming_dedup_keys(spark, sf_dir):
     """Streaming exact dedup through the driver gate: the events table
     fed twice (streaming self-union, one microbatch) through
@@ -1167,6 +1220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "corpus_curation": q_corpus_curation,
         "train_val_split": q_train_val_split,
+        "decontaminate": q_decontaminate,
+        "pack_shards": q_pack_shards,
+        "stratified_sample": q_stratified_sample,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -1512,6 +1568,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT split, count(*)::BIGINT AS n_events, "
             "count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM s GROUP BY split"
+        ),
+        "decontaminate": (
+            # char-13-gram overlap vs the doc_id%97==0 eval slice;
+            # range(a,b) is [a,b) so +1 mirrors Spark's inclusive
+            # sequence(1, greatest(len-12, 1))
+            "WITH bg AS (SELECT DISTINCT substring(text, g, 13) AS gram "
+            "FROM documents, UNNEST(range(1, greatest(length(text) - 12, 1)"
+            " + 1)) AS t(g) WHERE doc_id % 97 = 0), "
+            "dg AS (SELECT DISTINCT d.doc_id, substring(d.text, g, 13) AS "
+            "gram FROM documents d, UNNEST(range(1, greatest(length(d.text)"
+            " - 12, 1) + 1)) AS t(g) WHERE d.doc_id % 97 <> 0) "
+            "SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams "
+            "FROM dg JOIN bg USING (gram) GROUP BY doc_id"
+        ),
+        "pack_shards": (
+            # the single-window formulation the distributed two-phase
+            # prefix sum must equal exactly
+            "WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), "
+            "'\\s+'))::BIGINT AS n_tokens FROM documents) "
+            "SELECT doc_id, n_tokens, floor((sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) "
+            "/ 2000)::BIGINT AS shard_idx FROM t"
+        ),
+        "stratified_sample": (
+            "WITH kept AS (SELECT source, doc_id FROM documents WHERE "
+            "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 "
+            "< CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000 "
+            "WHEN 'src2' THEN 1000 ELSE 2500 END) "
+            "SELECT source, count(*)::BIGINT AS n_kept, "
+            "sum(doc_id)::BIGINT AS id_checksum FROM kept GROUP BY source"
         ),
         "corpus_curation": (
             # quality-filtered variant of the dedup_clusters oracle:

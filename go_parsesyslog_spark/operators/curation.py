@@ -1,0 +1,149 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/similarity: benchmark decontamination, token-budgeted shard
+packing, and stratified (per-stratum rate) sampling.
+
+All three are pure Catalyst column expressions / DataFrame ops — no
+Python in the hot path — and each is driver-gated with a DuckDB oracle
+(__spark_entry__.py).  Reference parity note: the reference
+(go-parsesyslog) has no corpus operators; these extend the graft's
+training-pipeline surface per the build brief (SURVEY.md §2 Table B
+"beyond-reference ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _char_ngrams(text_col: str, n: int):
+    """array of all distinct character n-grams of a column (JVM-side:
+    sequence → transform → substring; same shape ngram_jaccard uses)."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+        f"i -> substring({text_col}, i, {n})))"
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one character ``n``-gram with any benchmark/eval document
+    (the GPT-3-style 13-gram overlap rule, chars standing in for
+    tokens).  Returns (id, n_contaminated_grams) for flagged docs only —
+    anti-join against this to decontaminate.
+
+    Scale shape: the benchmark gram set is ``array_distinct``-ed per doc
+    then globally distinct (eval sets are small — thousands of docs —
+    so it broadcasts; set ``broadcast_benchmark=False`` to let AQE pick
+    a shuffle join for an unusually large benchmark).  The corpus side
+    explodes to (id, gram) rows ONCE and the join is a narrow hash
+    probe per gram; aggregation back to the doc is a map-side-combinable
+    count on the id key.  No text ever crosses the shuffle — only grams
+    that actually hit."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(_char_ngrams(text_col, n)).alias("gram")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_grams"))
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_capacity: int = 1_000_000,
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """Token-budgeted shard assignment: documents in ``id_col`` order are
+    packed into consecutive shards of ``shard_capacity`` tokens —
+    ``shard_idx = floor(exclusive_running_token_sum / capacity)`` (the
+    deterministic greedy packing a pretraining data loader consumes).
+
+    The running sum is a DISTRIBUTED two-phase prefix sum, not a global
+    window: a single ``sum() OVER (ORDER BY id)`` puts the entire corpus
+    through ONE partition (the classic 100 TB window killer).  Instead:
+
+      1. each doc lands in an id-range bucket (``floor(id /
+         bucket_width)`` — order-preserving by construction);
+      2. per-bucket token totals aggregate map-side → a tiny
+         (n_buckets)-row frame whose exclusive cumsum IS safe to window
+         (one row per bucket: 10¹² docs / 10⁶ width → 10⁶ rows);
+      3. bucket offsets broadcast-join back; the per-doc cumsum windows
+         only WITHIN its bucket (partitionBy bucket → parallel), plus
+         the bucket offset.
+
+    Output: (id, tokens, shard_idx).  Identical to the single-window
+    SQL formulation (the DuckDB oracle) for any bucket_width."""
+    toks = docs.select(
+        F.col(id_col), F.col(tokens_col).cast("long").alias("_tok"),
+        F.floor(F.col(id_col) / bucket_width).alias("_bkt"),
+    )
+    w_b = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        toks.groupBy("_bkt").agg(F.sum("_tok").alias("_bsum"))
+        .withColumn("_off", F.sum("_bsum").over(w_b) - F.col("_bsum"))
+        .select("_bkt", "_off")
+    )
+    w_in = (
+        Window.partitionBy("_bkt").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl = F.sum("_tok").over(w_in) - F.col("_tok") + F.col("_off")
+    return (
+        toks.join(F.broadcast(offsets), "_bkt")
+        .withColumn("shard_idx", F.floor(excl / shard_capacity))
+        .select(
+            F.col(id_col),
+            F.col("_tok").alias(tokens_col),
+            F.col("shard_idx").cast("long").alias("shard_idx"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    rate_denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mixing-weights
+    operator of a training-data pipeline (e.g. keep 100% of books, 10%
+    of CommonCrawl).  A row survives iff its md5-prefix bucket (of the
+    row ID — engine-agnostic arithmetic, the train_val_split trick, so
+    DuckDB replays it bit-for-bit) falls under its stratum's rate.
+    Strata absent from ``fractions`` get ``default_fraction``.
+
+    Pure projection + filter: no shuffle, no RNG (stable across runs,
+    partitionings, and engines), trivially pushed past into the scan."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("long") % rate_denominator
+    )
+    rate = F.lit(int(default_fraction * rate_denominator))
+    for k, v in sorted(fractions.items()):
+        rate = F.when(
+            F.col(strata_col) == k, F.lit(int(v * rate_denominator))
+        ).otherwise(rate)
+    return df.filter(bucket < rate)

@@ -1,0 +1,125 @@
+"""Curation operators: decontamination, shard packing, stratified
+sampling (operators/curation.py).  Driver-gate parity lives in
+__spark_entry__ (decontaminate / pack_shards / stratified_sample
+oracles); these tests pin semantics and the scale-shape claims."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from go_parsesyslog_spark.operators.curation import (
+    decontaminate,
+    pack_shards,
+    stratified_sample,
+)
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty-two exactly")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains a 13-char substring of the benchmark verbatim
+            (1, "leaked: the secret benchmark answer is hidden here"),
+            (2, "completely unrelated training text with no overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in decontaminate(docs, bench).collect()}
+    assert 1 in out and out[1] > 0
+    assert 2 not in out
+
+
+def test_decontaminate_short_docs(spark):
+    """Docs shorter than n fall back to the whole-string 'gram' on both
+    engines — a short doc is flagged only on exact containment-as-gram
+    equality, never errors."""
+    bench = spark.createDataFrame([(0, "tiny")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    assert out == {1}
+
+
+@pytest.mark.parametrize("bucket_width", [1, 3, 10, 10**9])
+def test_pack_shards_equals_global_window(spark, bucket_width):
+    """The distributed two-phase prefix sum must equal the single-window
+    formulation for ANY bucket width (incl. width 1 = one bucket per
+    doc and 10^9 = everything in one bucket)."""
+    rows = [(i * 7 % 97, 10 + (i * 13) % 50) for i in range(60)]
+    # ids sparse + unordered input; dedupe ids
+    seen, data = set(), []
+    for i, t in rows:
+        if i not in seen:
+            seen.add(i)
+            data.append((i, t))
+    df = spark.createDataFrame(data, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["shard_idx"]
+        for r in pack_shards(
+            df, shard_capacity=100, bucket_width=bucket_width
+        ).collect()
+    }
+    run = 0
+    expected = {}
+    for i, t in sorted(data):
+        expected[i] = run // 100
+        run += t
+    assert got == expected
+
+
+def test_pack_shards_window_is_partitioned(spark):
+    """Scale shape: the per-doc cumulative window must be partitioned by
+    the id bucket — a global ORDER BY window (single partition over the
+    whole corpus) is exactly what this operator exists to avoid."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_tokens")
+    )
+    out = pack_shards(df, shard_capacity=50, bucket_width=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only unpartitioned window allowed is over the tiny per-bucket
+    # offsets frame (10 rows here); the doc-level window (the one
+    # ordered by doc_id) must carry _bkt in its partition spec
+    doc_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "doc_id" in ln
+    ]
+    assert doc_windows, plan
+    assert all("windowspecdefinition(_bkt" in ln for ln in doc_windows), plan
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    kept = stratified_sample(
+        df, {"a": 1.0, "b": 0.0}, strata_col="source", id_col="doc_id"
+    )
+    per = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per.get("a") == 5_000 and "b" not in per
+
+    half = stratified_sample(
+        df, {"a": 0.5, "b": 0.5}, strata_col="source", id_col="doc_id"
+    )
+    n = half.count()
+    assert 4_500 <= n <= 5_500  # md5 buckets ≈ uniform
+    # deterministic: same call → identical kept set
+    s1 = {r["doc_id"] for r in half.collect()}
+    s2 = {r["doc_id"] for r in half.collect()}
+    assert s1 == s2
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Pure projection + filter — no exchange in the plan, so the rate
+    filter pushes into the scan pipeline at any scale."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("source")
+    )
+    out = stratified_sample(df, {"a": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
