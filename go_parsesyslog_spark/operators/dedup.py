@@ -64,14 +64,28 @@ def _hash_shingles(
     pows = np.power(np.uint64(257), np.arange(k, dtype=np.uint64),
                     dtype=np.uint64)
     # k shifted full-buffer slices instead of a materialized
-    # (len(buf) × k) window matrix — O(len) memory, same hash values
+    # (len(buf) × k) window matrix — O(len) memory, same hash values.
+    # The inner loop writes into TWO preallocated buffers (out=) and
+    # runs over ≤2M-window chunks: fresh multi-MB numpy transients per
+    # iteration intermittently stall ~30x on THP/compaction-prone hosts
+    # (measured 47ms vs 1.6s for this exact loop on identical data; see
+    # the vote_udf chunking note) — reuse + bounded working set keeps
+    # the allocator out of the hot path.
     nw = len(buf) - k + 1
     hashes = np.zeros(nw, dtype=np.uint64)
     valid = np.ones(nw, dtype=bool)
-    for j in range(k):
-        col = buf[j: j + nw]
-        hashes += col.astype(np.uint64) * pows[j]  # wraps 2^64
-        valid &= col != 0
+    chunk = 2_000_000
+    tmp = np.empty(min(nw, chunk), dtype=np.uint64)
+    vtmp = np.empty(min(nw, chunk), dtype=bool)
+    for s in range(0, nw, chunk):
+        e = min(s + chunk, nw)
+        m = e - s
+        for j in range(k):
+            col = buf[s + j: e + j]
+            np.multiply(col, pows[j], out=tmp[:m], casting="unsafe")
+            hashes[s:e] += tmp[:m]
+            np.not_equal(col, 0, out=vtmp[:m])
+            valid[s:e] &= vtmp[:m]
     # doc i's windows start in [starts[i], starts[i] + len(norm[i]) - k]
     lens = np.array([len(b) for b in norm], dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(lens + k)[:-1]))
