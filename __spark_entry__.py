@@ -1114,6 +1114,80 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter (operators/quality.
+    repetition_stats): per-doc duplicate-word / duplicate-2-gram / top-
+    2-gram fractions from ONE exploded-gram shuffle, plus the reject
+    flag.  Fractions are exact integer ratios so the DuckDB oracle
+    replays them bit-for-bit."""
+    from go_parsesyslog_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words", "dup_word_frac", "dup_2gram_frac", "top_2gram_frac",
+        "repetitive",
+    )
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction (operators/quality.redact_pii): deterministic PII
+    (email / SSN / phone / IPv4, selected by doc_id % 5; %5==4 gets
+    none) is synthesized into each doc, then redacted by the fixed
+    regexp chain.  Output pins the per-class counts AND the md5 of the
+    redacted text, so the oracle verifies both detection and the exact
+    replacement result."""
+    from go_parsesyslog_spark.operators.quality import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pii = (
+        F.when(d % 5 == 0, F.concat(F.lit(" user"), d, F.lit("@example.com")))
+        .when(d % 5 == 1, F.concat(
+            F.lit(" "), F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((d % 100).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((d % 10000).cast("string"), 4, "0")))
+        .when(d % 5 == 2, F.concat(
+            F.lit(" 555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((d % 10000).cast("string"), 4, "0")))
+        .when(d % 5 == 3, F.concat(
+            F.lit(" 10."), (d % 256).cast("string"),
+            F.lit("."), (F.floor(d / 7) % 256).cast("string"),
+            F.lit("."), (d % 254 + 1).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select("doc_id", F.concat("text", pii).alias("text"))
+    return redact_pii(seeded).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_email", "n_ssn", "n_phone", "n_ip",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def q_ann_quantized_topk(spark, sf_dir):
+    """int8-quantized brute-force ANN (operators/similarity.
+    cosine_topk_quantized): corpus and queries quantized with the
+    floor-based symmetric int8 quantizer, ranked by quantized cosine.
+    The integer dot products make the APPROXIMATION exactly replayable
+    in DuckDB — zero float tolerance, same contract as
+    ann_ivf_reduced_probe."""
+    from go_parsesyslog_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_quantized(emb, q, k=3).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("qdot").cast("long").alias("qdot"),
+        F.round("qsim", 4).alias("qsim"),
+    )
+
+
 def q_streaming_dedup_keys(spark, sf_dir):
     """Streaming exact dedup through the driver gate: the events table
     fed twice (streaming self-union, one microbatch) through
@@ -1223,6 +1297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_shards": q_pack_shards,
         "stratified_sample": q_stratified_sample,
+        "repetition_filter": q_repetition_filter,
+        "pii_redaction": q_pii_redaction,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -1598,6 +1675,105 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'src2' THEN 1000 ELSE 2500 END) "
             "SELECT source, count(*)::BIGINT AS n_kept, "
             "sum(doc_id)::BIGINT AS id_checksum FROM kept GROUP BY source"
+        ),
+        "repetition_filter": (
+            # one tagged-gram pass: n=1 words, n=2 word bigrams; the
+            # fractions are exact integer ratios in double arithmetic,
+            # identical IEEE ops in both engines
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS ws FROM documents), "
+            "g AS (SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w "
+            "UNION ALL SELECT doc_id, 2 AS n, unnest(list_transform("
+            "generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || "
+            "ws[i + 1])) AS gram FROM w), "
+            "c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g "
+            "GROUP BY doc_id, n, gram), "
+            "a AS (SELECT doc_id, "
+            "sum(CASE WHEN n = 1 THEN cnt END)::BIGINT AS n_words, "
+            "count(CASE WHEN n = 1 THEN 1 END)::BIGINT AS n_dw, "
+            "coalesce(sum(CASE WHEN n = 2 THEN cnt END), 0)::BIGINT "
+            "AS n_2g, "
+            "count(CASE WHEN n = 2 THEN 1 END)::BIGINT AS n_d2, "
+            "coalesce(max(CASE WHEN n = 2 THEN cnt END), 0)::BIGINT "
+            "AS top2 FROM c GROUP BY doc_id) "
+            "SELECT doc_id::BIGINT AS doc_id, n_words, "
+            "round(1.0 - n_dw / CAST(n_words AS DOUBLE), 5) "
+            "AS dup_word_frac, "
+            "CASE WHEN n_2g > 0 THEN round(1.0 - n_d2 / "
+            "CAST(n_2g AS DOUBLE), 5) ELSE 0.0 END AS dup_2gram_frac, "
+            "CASE WHEN n_2g > 0 THEN round(top2 / CAST(n_2g AS DOUBLE), "
+            "5) ELSE 0.0 END AS top_2gram_frac, "
+            "((CASE WHEN n_2g > 0 THEN top2 / CAST(n_2g AS DOUBLE) "
+            "ELSE 0.0 END) > 0.20 OR "
+            "(1.0 - n_dw / CAST(n_words AS DOUBLE)) > 0.70) "
+            "AS repetitive FROM a"
+        ),
+        "pii_redaction": (
+            # sequential count-then-replace chain, same order as
+            # PII_PATTERNS (email, ssn, phone, ip); 'g' flag because
+            # DuckDB regexp_replace is first-match-only by default
+            # while Spark's replaces all
+            "WITH s AS (SELECT doc_id, text || CASE doc_id % 5 "
+            "WHEN 0 THEN ' user' || doc_id || '@example.com' "
+            "WHEN 1 THEN ' ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') "
+            "|| '-' || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' || "
+            "lpad((doc_id % 10000)::VARCHAR, 4, '0') "
+            "WHEN 2 THEN ' 555-' || lpad((doc_id % 1000)::VARCHAR, 3, "
+            "'0') || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') "
+            "WHEN 3 THEN ' 10.' || (doc_id % 256) || '.' || "
+            "((doc_id // 7) % 256) || '.' || (doc_id % 254 + 1) "
+            "ELSE '' END AS t0 FROM documents), "
+            "r1 AS (SELECT doc_id, len(regexp_extract_all(t0, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT"
+            " AS n_email, regexp_replace(t0, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM s), "
+            "r2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t1, "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn, "
+            "regexp_replace(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', "
+            "'g') AS t2 FROM r1), "
+            "r3 AS (SELECT doc_id, n_email, n_ssn, "
+            "len(regexp_extract_all(t2, "
+            "'\\b\\d{3}-\\d{3}-\\d{4}\\b'))::BIGINT AS n_phone, "
+            "regexp_replace(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b', "
+            "'<PHONE>', 'g') AS t3 FROM r2), "
+            "r4 AS (SELECT doc_id, n_email, n_ssn, n_phone, "
+            "len(regexp_extract_all(t3, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT"
+            " AS n_ip, regexp_replace(t3, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', "
+            "'g') AS t4 FROM r3) "
+            "SELECT doc_id::BIGINT AS doc_id, n_email, n_ssn, n_phone, "
+            "n_ip, md5(t4) AS redacted_md5 FROM r4"
+        ),
+        "ann_quantized_topk": (
+            # floor-based int8 quantizer replayed exactly: float32
+            # max|v| promoted to double, IEEE double arithmetic, floor
+            # → exact integers; the ranking metric is integer dot
+            # products whose doubles stay under 2^53, so zero tolerance
+            "WITH m AS (SELECT vec_id, embedding, greatest(CAST("
+            "list_max(list_transform(embedding, y -> abs(y))) AS "
+            "DOUBLE), 1e-30) AS ma FROM embeddings), "
+            "q8 AS (SELECT vec_id, list_transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT)) "
+            "AS qv FROM m), "
+            "p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+            " CAST(list_sum(list_transform(generate_series(1, "
+            "len(c.qv)), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS qdot, "
+            "CAST(list_sum(list_transform(generate_series(1, "
+            "len(c.qv)), i -> c.qv[i] * c.qv[i])) AS BIGINT) AS qaa, "
+            "CAST(list_sum(list_transform(generate_series(1, "
+            "len(q.qv)), i -> q.qv[i] * q.qv[i])) AS BIGINT) AS qbb "
+            "FROM q8 c, q8 q WHERE q.vec_id < 5 AND "
+            "c.vec_id <> q.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, qdot, "
+            "CAST(qdot AS DOUBLE) / sqrt(CAST(qaa AS DOUBLE) * "
+            "CAST(qbb AS DOUBLE)) AS qsim, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY "
+            "CAST(qdot AS DOUBLE) / sqrt(CAST(qaa AS DOUBLE) * "
+            "CAST(qbb AS DOUBLE)) DESC, neighbor_id) AS rank FROM p) "
+            "SELECT query_id, rank::BIGINT AS rank, neighbor_id, qdot, "
+            "round(qsim, 4) AS qsim FROM r WHERE rank <= 3"
         ),
         "corpus_curation": (
             # quality-filtered variant of the dedup_clusters oracle:

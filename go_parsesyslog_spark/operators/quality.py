@@ -1,0 +1,129 @@
+"""Repetition-based quality filtering and PII redaction for
+training-corpus curation.
+
+Both are pure Catalyst — repetition metrics ride ONE exploded-gram
+shuffle keyed on the doc id (map-side-combinable counts, no join back
+to the text), and PII redaction is a fixed chain of JVM ``regexp_*``
+calls — so each survives a 100 TB corpus the same way any groupBy /
+projection does.
+
+Reference parity note: the reference (go-parsesyslog) has no corpus
+operators; these extend the graft's training-pipeline surface per the
+build brief (SURVEY.md §2 Table B "beyond-reference ops"), in the
+Gopher (Rae et al. 2021, §A1.1) / C4 spirit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_2gram_max: float = 0.20,
+    dup_word_max: float = 0.70,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document, computed from ONE
+    exploded (id, n, gram) pass:
+
+    * ``n_words``            — whitespace token count
+    * ``dup_word_frac``      — 1 − distinct words / total words
+    * ``dup_2gram_frac``     — 1 − distinct word-2-grams / total 2-grams
+    * ``top_2gram_frac``     — share of the single most frequent 2-gram
+    * ``repetitive``         — the Gopher-style reject flag
+
+    Scale shape: words and 2-grams are tagged structs in one array, so
+    the corpus explodes ONCE; ``groupBy(id, n, gram).count`` is
+    map-side combinable (repeated grams collapse before the shuffle)
+    and the re-aggregation to one row per doc is keyed on the same id
+    — no join back to the original text, no per-row O(w²) higher-order
+    loops.  Fractions are exact integer ratios cast to double, so the
+    DuckDB oracle replays them bit-for-bit.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_bi = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, F.lit(1), n_bi),
+        F.slice(words, F.lit(2), n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # tagged (n, gram) structs: n=1 → each word, n=2 → "w[i] w[i+1]"
+    grams = F.concat(
+        F.transform(
+            words, lambda w: F.struct(F.lit(1).alias("n"), w.alias("gram"))
+        ),
+        F.transform(
+            bigrams, lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    one = F.when(F.col("n") == 1, F.col("cnt"))
+    two = F.when(F.col("n") == 2, F.col("cnt"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum(one).cast("long").alias("n_words"),
+        F.count(one).cast("long").alias("n_distinct_words"),
+        F.coalesce(F.sum(two), F.lit(0)).cast("long").alias("n_2grams"),
+        F.count(two).cast("long").alias("n_distinct_2grams"),
+        F.coalesce(F.max(two), F.lit(0)).cast("long").alias("top_2gram_cnt"),
+    )
+    dup_word = 1.0 - F.col("n_distinct_words") / F.col("n_words")
+    dup_2g = F.when(
+        F.col("n_2grams") > 0,
+        1.0 - F.col("n_distinct_2grams") / F.col("n_2grams"),
+    ).otherwise(F.lit(0.0))
+    top_2g = F.when(
+        F.col("n_2grams") > 0, F.col("top_2gram_cnt") / F.col("n_2grams")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_words",
+        F.round(dup_word, 5).alias("dup_word_frac"),
+        F.round(dup_2g, 5).alias("dup_2gram_frac"),
+        F.round(top_2g, 5).alias("top_2gram_frac"),
+        ((top_2g > top_2gram_max) | (dup_word > dup_word_max)).alias(
+            "repetitive"
+        ),
+    )
+
+
+# PII patterns — RE2/Java-common subset (no lookaround, no
+# backreferences) so the Spark expressions and the DuckDB oracle
+# compile the SAME regex.  Order matters: emails are redacted before
+# the dotted/dashed digit patterns so an address's local part can't be
+# re-matched, and SSN (3-2-4) before phone (3-3-4).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4 addresses, counting
+    each class as it is removed (counts are taken on the text state at
+    that point in the chain, so the sequence is the spec).
+
+    Adds ``n_<class>`` long columns and ``out_col`` with the redacted
+    text.  Pure ``regexp_count`` / ``regexp_replace`` chain — whole-
+    stage codegen, zero Python, no shuffle.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("*", *counts, cur.alias(out_col))

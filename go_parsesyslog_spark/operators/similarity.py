@@ -506,3 +506,87 @@ def embedding_lsh_bucket_stats(
         .groupBy("bkey")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = floor(v[i] *
+    127 / max(|v|))`` with the inverse scale kept alongside — the
+    standard 4× memory / int-SIMD trade for ANN at 100 TB (the float
+    corpus never has to live in executor memory again; rescoring
+    fetches the float rows for the top candidates only).
+
+    ``floor`` (not round) is the spec on purpose: floor is defined
+    identically in every engine, so the DuckDB oracle replays the
+    quantizer bit-for-bit (float→double promotion is exact, the
+    arithmetic is IEEE double, and the result is an exact integer).
+    max(|v|) is computed in float32 first — also exactly replayable —
+    then promoted.  Zero vectors quantize to zeros via the 1e-30 guard.
+
+    Pure Catalyst (transform/aggregate over the array — codegen'd, no
+    Python, no shuffle).
+    """
+    v = F.col(vec_col)
+    maxabs = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double"),
+        F.lit(1e-30),
+    )
+    q = F.transform(
+        v, lambda x: F.floor(x.cast("double") * 127.0 / maxabs).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias(qvec_col),
+        (maxabs / 127.0).alias(scale_col),
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k by QUANTIZED cosine: both sides int8-quantized
+    (:func:`quantize_int8`), similarity = qdot / sqrt(qdot_aa·qdot_bb).
+
+    Per-vector scales cancel in the cosine, so the integer dot products
+    ARE the ranking — exact 64-bit integer arithmetic end-to-end, which
+    is why the driver oracle can replay the approximation (not just the
+    machinery) with zero float tolerance.  Same broadcast + window
+    shape as :func:`cosine_topk_bruteforce`; at scale the corpus scan
+    moves 4× fewer bytes and the hot loop is integer multiply-adds.
+    """
+    cq = quantize_int8(corpus, id_col, vec_col)
+    qq = quantize_int8(queries, query_id_col, vec_col).select(
+        query_id_col, F.col("qvec").alias("_qv")
+    )
+    pairs = cq.crossJoin(F.broadcast(qq)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qdot = idot(F.col("qvec"), F.col("_qv"))
+    qsim = qdot.cast("double") / F.sqrt(
+        idot(F.col("qvec"), F.col("qvec")).cast("double")
+        * idot(F.col("_qv"), F.col("_qv")).cast("double")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("qsim"), id_col)
+    return (
+        pairs.withColumn("qdot", qdot)
+        .withColumn("qsim", qsim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"),
+                "qdot", "qsim")
+    )
