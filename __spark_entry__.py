@@ -1229,6 +1229,90 @@ def q_streaming_session_windows(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct counts (operators/sketches.
+    hll_distinct): per event_type, approximate distinct users (small
+    cardinality — exercises the linear-counting branch) AND approximate
+    distinct event ids (large cardinality — exercises the raw-estimator
+    branch).  Registers are md5-prefix arithmetic, so the DuckDB oracle
+    replays the SKETCH itself — register maxima, zero counts, and the
+    estimator — not just row plumbing."""
+    from go_parsesyslog_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    users = hll_distinct(
+        ev, ["event_type"], "user_id", out_col="approx_users"
+    ).select(
+        "event_type",
+        F.col("n_registers_hit").alias("u_regs"),
+        F.col("n_registers_zero").alias("u_zero"),
+        "approx_users",
+    )
+    ids = hll_distinct(
+        ev, ["event_type"], "event_id", out_col="approx_ids"
+    ).select(
+        "event_type",
+        F.col("n_registers_hit").alias("i_regs"),
+        F.col("n_registers_zero").alias("i_zero"),
+        "approx_ids",
+    )
+    return users.join(ids, "event_type")
+
+
+def q_kmv_source_jaccard(spark, sf_dir):
+    """KMV-sketch pairwise Jaccard between document sources
+    (operators/sketches.kmv_pairwise_jaccard): each source's word set
+    reduced to its 64 smallest md5 hashes, then the Bar-Yossef
+    bottom-k estimator over every source pair.  Constant sketch state
+    per group regardless of corpus size; the oracle replays signature
+    construction AND the union/intersect estimator exactly."""
+    from go_parsesyslog_spark.operators.sketches import (
+        kmv_pairwise_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+    )
+    return kmv_pairwise_jaccard(terms, "source", "term", k=64)
+
+
+def q_substring_dup_stats(spark, sf_dir):
+    """Exact-substring duplication profile (operators/dedup.
+    substring_dup_stats): per-doc fraction of strided 40-char windows
+    whose md5 occurs >= 2 times anywhere in the corpus — the Lee et
+    al. 2022 duplication signal.  One analytic count over the window
+    hash (no groupBy + join-back), then a per-doc fold."""
+    from go_parsesyslog_spark.operators.dedup import substring_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_stats(docs, window=40, stride=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_windows",
+        "n_dup_windows",
+        "dup_frac",
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by linear-idf tf-idf
+    (operators/quality.tfidf_top_terms).  The linear idf keeps the
+    score pure IEEE +,*,/ so the DuckDB oracle replays the RANKING
+    bit-for-bit (ties break on term asc)."""
+    from go_parsesyslog_spark.operators.quality import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank",
+        "term",
+        "tf",
+        "doc_freq",
+        "score",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct wire messages from sf0.001 events, run the
     full parse→enrich→aggregate DAG, return per-class hourly counts."""
@@ -1300,6 +1384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "pii_redaction": q_pii_redaction,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "hll_distinct": q_hll_distinct,
+        "kmv_source_jaccard": q_kmv_source_jaccard,
+        "substring_dup_stats": q_substring_dup_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -1775,6 +1863,78 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, rank::BIGINT AS rank, neighbor_id, qdot, "
             "round(qsim, 4) AS qsim FROM r WHERE rank <= 3"
         ),
+        "hll_distinct": _hll_oracle_sql(),
+        "kmv_source_jaccard": (
+            # KMV bottom-64 signatures per source, then the Bar-Yossef
+            # estimator: T = 64 smallest of sig(A) ∪ sig(B),
+            # J ≈ |T ∩ A ∩ B| / |T| — exact integer set arithmetic over
+            # sorted 60-bit md5 hashes, one IEEE division at the end
+            "WITH t AS (SELECT source, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents), "
+            "p AS (SELECT DISTINCT source, ('0x' || substr(md5(term), "
+            "1, 15))::BIGINT AS h FROM t), "
+            "r AS (SELECT source, h, row_number() OVER (PARTITION BY "
+            "source ORDER BY h) AS rk FROM p), "
+            "s AS (SELECT source, list_sort(list(h)) AS sig FROM r "
+            "WHERE rk <= 64 GROUP BY source), "
+            "pr AS (SELECT a.source AS group_a, b.source AS group_b, "
+            "list_slice(list_sort(list_distinct(list_concat(a.sig, "
+            "b.sig))), 1, 64) AS uk, "
+            "list_intersect(a.sig, b.sig) AS bo "
+            "FROM s a JOIN s b ON a.source < b.source) "
+            "SELECT group_a, group_b, "
+            "len(list_intersect(uk, bo))::BIGINT AS n_common, "
+            "len(uk)::BIGINT AS k_used, "
+            "round(len(list_intersect(uk, bo)) / CAST(len(uk) AS "
+            "DOUBLE), 5) AS jaccard_est FROM pr"
+        ),
+        "substring_dup_stats": (
+            # strided 40-char windows; a window is duplicated iff its
+            # 60-bit md5 prefix occurs >= 2 times corpus-wide (analytic
+            # count over the hash, exactly like the Spark plan); docs
+            # shorter than the window carry zero windows
+            "WITH w AS (SELECT d.doc_id, substring(d.text, g, 40) AS "
+            "win FROM documents d, UNNEST(generate_series(1, "
+            "length(d.text) - 39, 10)) AS t(g) "
+            "WHERE length(d.text) >= 40), "
+            "h AS (SELECT doc_id, ('0x' || substr(md5(win), 1, 15))"
+            "::BIGINT AS wh FROM w), "
+            "m AS (SELECT doc_id, CASE WHEN count(*) OVER (PARTITION "
+            "BY wh) >= 2 THEN 1 ELSE 0 END AS dup FROM h), "
+            "a AS (SELECT doc_id, count(*)::BIGINT AS n_windows, "
+            "sum(dup)::BIGINT AS n_dup_windows FROM m GROUP BY doc_id) "
+            "SELECT d.doc_id::BIGINT AS doc_id, "
+            "coalesce(a.n_windows, 0)::BIGINT AS n_windows, "
+            "coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows, "
+            "round(CASE WHEN coalesce(a.n_windows, 0) > 0 THEN "
+            "a.n_dup_windows / CAST(a.n_windows AS DOUBLE) ELSE 0.0 "
+            "END, 5) AS dup_frac "
+            "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+        ),
+        "tfidf_top_terms": (
+            # linear-idf tf-idf: score = (tf/doc_len) * (N/df), pure
+            # IEEE +,*,/ in the same op order as the Spark plan, so the
+            # pre-round ranking is bit-identical; ties break on term
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM "
+            "(SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY "
+            "doc_id, term), "
+            "d AS (SELECT doc_id, term, tf, sum(tf) OVER (PARTITION "
+            "BY doc_id) AS doc_len FROM c), "
+            "f AS (SELECT term, count(*)::BIGINT AS doc_freq FROM c "
+            "GROUP BY term), "
+            "n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs "
+            "FROM documents), "
+            "s AS (SELECT doc_id, d.term, tf, doc_freq, "
+            "(tf / CAST(doc_len AS DOUBLE)) * (n_docs / doc_freq) AS "
+            "score FROM d JOIN f ON d.term = f.term CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) AS rank FROM s) "
+            "SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, "
+            "term, tf, doc_freq, round(score, 6) AS score FROM r "
+            "WHERE rank <= 3"
+        ),
         "corpus_curation": (
             # quality-filtered variant of the dedup_clusters oracle:
             # recursive min-reachable-id over the brute-force J>=0.9
@@ -1836,6 +1996,50 @@ def oracle_sql() -> dict[str, str]:
             for i in (1, 2, 3)
         ),
     }
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB replay of sketches.hll_distinct (m=256, p=8) for both
+    value columns, joined per event_type.  The alpha*m^2 literal is
+    computed with the SAME Python float arithmetic as hll_distinct and
+    inlined via repr() (round-trips the double exactly).  The register
+    sum is a sum of <= 256 dyadic rationals 2^-rho, rho in [1, 33] —
+    every partial sum needs <= 41 significand bits, so it is EXACT and
+    order-independent in IEEE double: the only cross-engine float risk
+    is ln() in the linear-counting branch, absorbed by round(_, 2)."""
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha_m2 = repr(alpha * m * m)
+    raw = f"({alpha_m2} / (sum_hit + (256 - n_hit)))"
+
+    def sub(value_col: str, regs: str, zero: str, est: str) -> str:
+        return (
+            f"SELECT event_type, n_hit::BIGINT AS {regs}, "
+            f"(256 - n_hit)::BIGINT AS {zero}, "
+            f"round(CASE WHEN {raw} <= 640.0 AND (256 - n_hit) > 0 "
+            "THEN 256.0 * ln(256.0 / (256 - n_hit)) "
+            f"ELSE {raw} END, 2) AS {est} FROM ("
+            "SELECT event_type, "
+            "sum(1.0 / (1::BIGINT << mrho)) AS sum_hit, "
+            "count(*) AS n_hit FROM ("
+            "SELECT event_type, reg, max(CASE WHEN w > 0 THEN "
+            "33 - length(bin(w)) ELSE 33 END) AS mrho FROM ("
+            "SELECT event_type, "
+            f"('0x' || substr(md5({value_col}::VARCHAR), 1, 2))::BIGINT"
+            " AS reg, "
+            f"('0x' || substr(md5({value_col}::VARCHAR), 3, 8))::BIGINT"
+            " AS w FROM events) "
+            "GROUP BY event_type, reg) GROUP BY event_type)"
+        )
+
+    return (
+        "SELECT u.event_type AS event_type, u_regs, u_zero, "
+        "approx_users, i_regs, i_zero, approx_ids FROM ("
+        + sub("user_id", "u_regs", "u_zero", "approx_users")
+        + ") u JOIN ("
+        + sub("event_id", "i_regs", "i_zero", "approx_ids")
+        + ") i ON u.event_type = i.event_type"
+    )
 
 
 def _ann_ivf_reduced_probe_oracle_sql() -> str:

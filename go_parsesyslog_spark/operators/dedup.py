@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -830,4 +830,82 @@ def dedup_exact(
             F.count(F.lit(1)).alias("n_copies"),
             F.min(id_col).alias("canonical_doc"),
         )
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication profile per document (the Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" signal, windowed): a char window is DUPLICATED iff its
+    md5 occurs >= 2 times anywhere in the corpus — another doc or a
+    repeat inside the same doc.
+
+    Emits ``n_windows`` / ``n_dup_windows`` / ``dup_frac`` per doc
+    (docs shorter than ``window`` chars have zero windows and
+    dup_frac 0.0).  Strided windows (default every 10 chars) keep the
+    explode at len/stride rows per doc instead of len.
+
+    Scale shape: ONE shuffle keyed on the window hash — the occurrence
+    count is an analytic ``count() OVER (PARTITION BY hash)`` rather
+    than a groupBy + join-back, so the corpus is shuffled once; the
+    per-doc fold then re-keys on the doc id.  Window hashes are md5
+    prefixes (engine-agnostic), so the DuckDB oracle replays the whole
+    profile bit-for-bit.
+    """
+    t = F.col(text_col)
+    starts = F.when(
+        F.length(t) >= window,
+        F.sequence(
+            F.lit(1), F.length(t) - (window - 1), F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(starts).alias("_pos"), t.alias("_t")
+    ).select(
+        id_col,
+        F.col("_pos").isNotNull().cast("int").alias("_is_win"),
+        # short docs carry one placeholder row; salt its key with the
+        # (negative, collision-free) doc id so billions of sub-window
+        # docs don't all shuffle into a single NULL-key partition
+        F.coalesce(
+            F.when(
+                F.col("_pos").isNotNull(),
+                F.conv(
+                    F.substring(
+                        F.md5(F.substring("_t", F.col("_pos"), window)),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            ),
+            -(F.col(id_col).cast("long") + 1),
+        ).alias("_wh"),
+    )
+    occ = F.count(F.lit(1)).over(Window.partitionBy("_wh"))
+    marked = exploded.select(
+        id_col,
+        "_is_win",
+        ((F.col("_is_win") == 1) & (occ >= 2)).cast("int").alias("_is_dup"),
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.sum("_is_win").cast("long").alias("n_windows"),
+        F.sum("_is_dup").cast("long").alias("n_dup_windows"),
+    )
+    return agg.select(
+        id_col,
+        "n_windows",
+        "n_dup_windows",
+        F.round(
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows") / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)),
+            5,
+        ).alias("dup_frac"),
     )

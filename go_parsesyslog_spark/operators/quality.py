@@ -15,7 +15,7 @@ Gopher (Rae et al. 2021, §A1.1) / C4 spirit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -127,3 +127,68 @@ def redact_pii(
         )
         cur = F.regexp_replace(cur, pat, token)
     return df.select("*", *counts, cur.alias(out_col))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by a tf-idf score —
+    the per-doc keyword surface of a curation pipeline (topic tagging,
+    filter explanations, near-dup triage).
+
+    Score = (tf / doc_len) * (N / df): linear inverse document
+    frequency rather than the textbook ln(N/df) ON PURPOSE — the
+    linear form is monotone in df exactly like the log form (so the
+    top-k set for a given doc differs only around idf ties) and it is
+    pure IEEE +,*,/ arithmetic, which means the DuckDB oracle replays
+    the ranking bit-for-bit with zero float tolerance.  Ties break on
+    the term string ascending.
+
+    Scale shape: one explode over the corpus; tf is a map-side-
+    combinable groupBy(doc, term); doc lengths ride a window over the
+    doc key (same partitioning as tf, no extra shuffle of the corpus);
+    document frequency is a groupBy(term) on the already-collapsed
+    (doc, term) pairs; N is a 1-row broadcast.  No driver-side loops,
+    no Python.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tf = (
+        df.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_w = Window.partitionBy(id_col)
+    tf = tf.withColumn("doc_len", F.sum("tf").over(doc_w))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") / F.col("doc_len"))
+            * (F.col("n_docs") / F.col("doc_freq")),
+        )
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.round("score", 6).alias("score"),
+        )
+    )
