@@ -1313,6 +1313,61 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketches.cms_heavy_hitters):
+    top-20 corpus terms by CMS estimate (depth 4, width 128 — narrow on
+    purpose so collisions occur and the one-sided overcount is graded),
+    with the exact count alongside.  Integer arithmetic end-to-end; the
+    DuckDB oracle replays the salted hashing, the sketch counters, the
+    min-fold estimate, AND the ranking."""
+    from go_parsesyslog_spark.operators.sketches import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    return cms_heavy_hitters(terms, "term", k=20, depth=4, width=128)
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter exact-match decontamination at corpus scale
+    (operators/sketches.bloom_bits / bloom_probe): the benchmark set is
+    the deterministic doc_id % 97 == 0 slice, reduced to md5 text
+    fingerprints and a 64-bit / 5-hash Bloom filter (tiny on purpose so
+    false positives are structurally possible and the probe is proven
+    to be a bit test, not a hidden exact join).  Every doc's
+    fingerprint probes the filter; true membership comes from a
+    broadcast join on the fingerprint.  Per-source counts grade hits,
+    members, and false positives — no false negatives by construction.
+    """
+    from go_parsesyslog_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("fp")
+    )
+    bench = (
+        fp.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    )
+    bits = bloom_bits(bench, "fp", m=64, k=5)
+    probed = bloom_probe(fp, bits, "fp", m=64, k=5)
+    member = bench.select("fp", F.lit(1).alias("_member"))
+    flagged = probed.join(F.broadcast(member), "fp", "left").select(
+        "source",
+        F.col("bloom_hit").cast("int").alias("_hit"),
+        F.coalesce(F.col("_member"), F.lit(0)).alias("_mem"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_hit").cast("long").alias("n_bloom_hits"),
+        F.sum("_mem").cast("long").alias("n_members"),
+        (F.sum("_hit") - F.sum("_mem")).cast("long").alias("n_false_pos"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: construct wire messages from sf0.001 events, run the
     full parse→enrich→aggregate DAG, return per-class hourly counts."""
@@ -1388,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_jaccard": q_kmv_source_jaccard,
         "substring_dup_stats": q_substring_dup_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -1934,6 +1991,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, "
             "term, tf, doc_freq, round(score, 6) AS score FROM r "
             "WHERE rank <= 3"
+        ),
+        "cms_heavy_hitters": (
+            # Count-Min replay: 4 salted md5 hash rows into 128 buckets,
+            # counter table, min-fold point estimates for every distinct
+            # term, rank by (estimate desc, term asc) — all integer
+            # arithmetic, bit-identical to the Spark plan
+            "WITH t AS (SELECT unnest(string_split_regex(trim(text), "
+            "'\\s+')) AS term FROM documents), "
+            "b AS (SELECT term, u.i, ('0x' || substr(md5(u.i::VARCHAR "
+            "|| ':' || term), 1, 15))::BIGINT % 128 AS bucket "
+            "FROM t, UNNEST([0, 1, 2, 3]) AS u(i)), "
+            "sk AS (SELECT i, bucket, count(*)::BIGINT AS cnt FROM b "
+            "GROUP BY i, bucket), "
+            "ex AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM t "
+            "GROUP BY term), "
+            "pr AS (SELECT e.term, e.exact_cnt, u.i, ('0x' || "
+            "substr(md5(u.i::VARCHAR || ':' || e.term), 1, 15))::BIGINT "
+            "% 128 AS bucket FROM ex e, UNNEST([0, 1, 2, 3]) AS u(i)), "
+            "est AS (SELECT term, exact_cnt, min(cnt) AS cms_est FROM "
+            "pr JOIN sk ON pr.i = sk.i AND pr.bucket = sk.bucket "
+            "GROUP BY term, exact_cnt), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY cms_est DESC, "
+            "term ASC) AS rank FROM est) "
+            "SELECT rank::BIGINT AS rank, term, cms_est::BIGINT AS "
+            "cms_est, exact_cnt, (cms_est - exact_cnt)::BIGINT AS "
+            "overcount FROM r WHERE rank <= 20"
+        ),
+        "bloom_decontaminate": (
+            # Bloom replay: benchmark = doc_id % 97 == 0 slice's md5
+            # text fingerprints; 5 salted hashes into 64 bits; a probe
+            # hits iff all 5 positions are set; membership is an exact
+            # fingerprint join; hits - members = false positives
+            "WITH fp AS (SELECT doc_id, source, md5(text) AS f FROM "
+            "documents), "
+            "bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 97 = 0), "
+            "bits AS (SELECT DISTINCT ('0x' || substr(md5(u.j::VARCHAR "
+            "|| ':' || f), 1, 15))::BIGINT % 64 AS bit "
+            "FROM bench, UNNEST([0, 1, 2, 3, 4]) AS u(j)), "
+            "pos AS (SELECT doc_id, source, f, ('0x' || "
+            "substr(md5(u.j::VARCHAR || ':' || f), 1, 15))::BIGINT % 64 "
+            "AS bit FROM fp, UNNEST([0, 1, 2, 3, 4]) AS u(j)), "
+            "hit AS (SELECT doc_id, source, f, CASE WHEN "
+            "min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 1 THEN 1 "
+            "ELSE 0 END AS h FROM pos LEFT JOIN bits b ON pos.bit = "
+            "b.bit GROUP BY doc_id, source, f), "
+            "m AS (SELECT hit.*, CASE WHEN bench.f IS NULL THEN 0 ELSE "
+            "1 END AS mem FROM hit LEFT JOIN bench ON hit.f = bench.f) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(h)::BIGINT AS n_bloom_hits, "
+            "sum(mem)::BIGINT AS n_members, "
+            "(sum(h) - sum(mem))::BIGINT AS n_false_pos "
+            "FROM m GROUP BY source"
         ),
         "corpus_curation": (
             # quality-filtered variant of the dedup_clusters oracle:

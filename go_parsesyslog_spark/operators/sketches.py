@@ -165,3 +165,151 @@ def kmv_pairwise_jaccard(
         k_used.cast("long").alias("k_used"),
         F.round(n_common / k_used, 5).alias("jaccard_est"),
     )
+
+
+def _salted_bucket(col, salt: int, modulus: int):
+    """Row-salted md5 bucket: first 15 hex chars of md5('<salt>:' || x)
+    mod `modulus` — identical in DuckDB as
+    ``('0x' || substr(md5(salt || ':' || x), 1, 15))::BIGINT % modulus``
+    (the 60-bit prefix is non-negative, so % == pmod)."""
+    h = F.concat(F.lit(f"{salt}:"), col.cast("string"))
+    return _md5_long(h, 1, 15) % modulus
+
+
+def cms_sketch(
+    df: DataFrame,
+    elem_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-Min sketch of the element stream (Cormode & Muthukrishnan
+    2005): `depth` independent md5-salted hash rows of `width` counters
+    each.  Returns the sketch as a (row, bucket, cnt) table — at most
+    depth*width rows regardless of corpus size, i.e. constant state.
+
+    One map-side-combinable shuffle keyed on (row, bucket): the explode
+    multiplies the stream by `depth`, but each partition pre-aggregates
+    to <= depth*width rows before the exchange, so the shuffle volume
+    is bounded by parallelism, not data size.
+    """
+    buckets = F.array(
+        *[
+            _salted_bucket(F.col(elem_col), i, width)
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    elem_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Top-k heavy hitters by Count-Min estimate, with the exact count
+    alongside so the sketch's one-sided error is graded, not assumed:
+    ``cms_est >= exact`` always (CMS never undercounts), and
+    ``overcount = cms_est - exact`` is the collision mass.
+
+    Scale shape: the sketch is depth*width counters → a broadcast; the
+    candidate set is the distinct elements (already being counted
+    exactly by the same groupBy), each probed against the broadcast
+    sketch via its `depth` (row, bucket) keys and folded with min().
+    At 100 TB one keeps only the exact-count pass OR the sketch — here
+    both run so the estimator itself is oracle-checkable.  Ties break
+    on the element ascending.  Integer arithmetic end-to-end →
+    bit-replayable in DuckDB.
+    """
+    sketch = cms_sketch(df, elem_col, depth, width)
+    exact = df.groupBy(elem_col).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    buckets = F.array(
+        *[
+            _salted_bucket(F.col(elem_col), i, width)
+            for i in range(depth)
+        ]
+    )
+    probes = exact.select(
+        elem_col, "exact_cnt", F.posexplode(buckets).alias("row", "bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(elem_col, "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    # global top-k as orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-k then a k-row driver merge — never a 1-partition sort of the
+    # whole vocabulary), then rank the k survivors
+    top = est.orderBy(F.desc("cms_est"), F.asc(elem_col)).limit(k)
+    wnd = Window.orderBy(F.desc("cms_est"), F.asc(elem_col))
+    return (
+        top.withColumn("rank", F.row_number().over(wnd))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            elem_col,
+            "cms_est",
+            "exact_cnt",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    elem_col: str,
+    m: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom filter of the element set as its set bit positions: `k`
+    md5-salted hashes into `m` bits.  Returns a 1-column (bit) table
+    of <= m rows — constant state, broadcastable, the scale path for
+    membership tests against a small reference set (eval-set
+    decontamination, blocklists) without shipping the set itself."""
+    buckets = F.array(
+        *[_salted_bucket(F.col(elem_col), j, m) for j in range(k)]
+    )
+    return (
+        df.select(F.explode(buckets).alias("bit")).distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bits: DataFrame,
+    elem_col: str,
+    m: int = 4096,
+    k: int = 5,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe every row's element against a Bloom filter built by
+    `bloom_bits` with the SAME (m, k): appends boolean `out_col`, true
+    iff all k bit positions are set.  No false negatives by
+    construction; false positives are the documented trade.
+
+    Scale shape: the probe explodes each row into k (element, bit)
+    pairs and left-joins the broadcast bit table (<= m rows); the
+    all-bits fold is a map-side-combinable min() on the row key.  The
+    original columns ride the fold via first() on md5-keyed rows —
+    callers with a unique id column get exact row identity; duplicate
+    full rows collapse to identical outputs either way.
+    """
+    marked = bits.select("bit", F.lit(1).alias("_set"))
+    buckets = F.array(
+        *[_salted_bucket(F.col(elem_col), j, m) for j in range(k)]
+    )
+    probed = df.select(
+        "*", F.explode(buckets).alias("bit")
+    ).join(F.broadcast(marked), "bit", "left")
+    return (
+        probed.groupBy(*df.columns)
+        .agg(
+            (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias(out_col)
+        )
+    )

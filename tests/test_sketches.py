@@ -12,6 +12,10 @@ import pyspark.sql.functions as F
 from go_parsesyslog_spark.operators.dedup import substring_dup_stats
 from go_parsesyslog_spark.operators.quality import tfidf_top_terms
 from go_parsesyslog_spark.operators.sketches import (
+    bloom_bits,
+    bloom_probe,
+    cms_heavy_hitters,
+    cms_sketch,
     hll_distinct,
     kmv_pairwise_jaccard,
     kmv_signatures,
@@ -193,6 +197,100 @@ def test_substring_unique_doc_no_dup(spark):
     assert out["n_windows"] > 0
     assert out["n_dup_windows"] == 0
     assert out["dup_frac"] == 0.0
+
+
+# --------------------------------------------------------------- CMS
+
+
+def test_cms_sketch_mass_conservation(spark):
+    # each of the depth rows holds every element once: per-row counter
+    # sum == stream length
+    df = _vals(spark, {"a": [f"t{i % 7}" for i in range(100)]})
+    rows = cms_sketch(df, "val", depth=4, width=32).collect()
+    per_row = {}
+    for r in rows:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["cnt"]
+    assert per_row == {0: 100, 1: 100, 2: 100, 3: 100}
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    freqs = {"alpha": 50, "beta": 30, "gamma": 5, "delta": 1}
+    vals = [w for w, n in freqs.items() for _ in range(n)]
+    df = _vals(spark, {"a": vals})
+    out = cms_heavy_hitters(df, "val", k=10, depth=4, width=4096).collect()
+    got = {r["val"]: r for r in out}
+    # wide sketch, 4 elements: no collisions -> estimates exact
+    for w, n in freqs.items():
+        assert got[w]["cms_est"] == n
+        assert got[w]["overcount"] == 0
+    assert [r["val"] for r in sorted(out, key=lambda r: r["rank"])][:2] == [
+        "alpha",
+        "beta",
+    ]
+
+
+def test_cms_overcount_is_one_sided(spark):
+    # width 4 with 40 distinct elements: collisions guaranteed, but CMS
+    # must never undercount
+    df = _vals(spark, {"a": [f"c{i % 40}" for i in range(400)]})
+    out = cms_heavy_hitters(df, "val", k=40, depth=2, width=4).collect()
+    assert len(out) == 40
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in out)
+    assert any(r["overcount"] > 0 for r in out)
+
+
+def test_cms_partitioning_invariant(spark):
+    df = _vals(spark, {"a": [f"w{i % 13}" for i in range(260)]})
+    a = cms_heavy_hitters(df.coalesce(1), "val", k=5, width=64).collect()
+    b = cms_heavy_hitters(df.repartition(8), "val", k=5, width=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    members = _vals(spark, {"a": [f"m{i}" for i in range(200)]})
+    bits = bloom_bits(members, "val", m=1024, k=5)
+    probes = spark.createDataFrame(
+        [(i, f"m{i}") for i in range(200)], "id long, val string"
+    )
+    out = bloom_probe(probes, bits, "val", m=1024, k=5).collect()
+    assert len(out) == 200
+    assert all(r["bloom_hit"] for r in out)
+
+
+def test_bloom_rejects_most_non_members(spark):
+    # m=4096, k=5, |S|=100 -> fill ~0.115, FP rate ~2e-5: all 500
+    # non-members must miss (any hit here would be a >1% tail event)
+    members = _vals(spark, {"a": [f"m{i}" for i in range(100)]})
+    bits = bloom_bits(members, "val", m=4096, k=5)
+    probes = spark.createDataFrame(
+        [(i, f"other{i}") for i in range(500)], "id long, val string"
+    )
+    out = bloom_probe(probes, bits, "val", m=4096, k=5).collect()
+    hits = sum(1 for r in out if r["bloom_hit"])
+    assert hits == 0
+
+
+def test_bloom_tiny_filter_has_false_positives(spark):
+    # m=16, k=2 saturates with 50 members: probing disjoint elements
+    # MUST produce false positives (the documented trade), proving the
+    # probe really is a bit test and not a hidden exact join
+    members = _vals(spark, {"a": [f"m{i}" for i in range(50)]})
+    bits = bloom_bits(members, "val", m=16, k=2)
+    probes = spark.createDataFrame(
+        [(i, f"z{i}") for i in range(100)], "id long, val string"
+    )
+    out = bloom_probe(probes, bits, "val", m=16, k=2).collect()
+    assert sum(1 for r in out if r["bloom_hit"]) > 50
+
+
+def test_bloom_bits_bounded(spark):
+    members = _vals(spark, {"a": [f"m{i}" for i in range(10000)]})
+    bits = bloom_bits(members, "val", m=256, k=5).collect()
+    assert len(bits) <= 256
+    assert all(0 <= r["bit"] < 256 for r in bits)
 
 
 # ------------------------------------------------------------- tfidf
