@@ -1229,6 +1229,30 @@ def q_streaming_session_windows(spark, sf_dir):
     )
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join through the driver gate
+    (streaming/stream.stream_interval_join): error events matched to
+    same-user purchases within 4 hours after the error.  Two streamed
+    sources, watermarks on both, two-sided event-time bound (the state-
+    expiry contract); with all rows in one availableNow microbatch the
+    inner join emits every qualifying pair, so the DuckDB oracle is the
+    equivalent batch interval join."""
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_interval_join,
+    )
+
+    out = availablenow_interval_join(
+        spark, f"{sf_dir}/events.parquet",
+        horizon="4 hours", watermark="30 minutes",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("err_id").cast("long").alias("err_id"),
+        F.col("buy_id").cast("long").alias("buy_id"),
+        "delay_sec",
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Deterministic HyperLogLog distinct counts (operators/sketches.
     hll_distinct): per event_type, approximate distinct users (small
@@ -1448,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
+        "streaming_interval_join": q_streaming_interval_join,
     }
 
 
@@ -2075,6 +2100,19 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_keys": (
             "SELECT DISTINCT event_id::BIGINT AS event_id, "
             "user_id::BIGINT AS user_id, event_type FROM events"
+        ),
+        "streaming_interval_join": (
+            # inner stream-stream interval join with every row in one
+            # availableNow microbatch == the batch interval join: error
+            # -> same-user purchase within [err_ts, err_ts + 4h]
+            "SELECT e.user_id::BIGINT AS user_id, "
+            "e.event_id::BIGINT AS err_id, "
+            "p.event_id::BIGINT AS buy_id, "
+            "CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS "
+            "delay_sec "
+            "FROM events e JOIN events p ON e.user_id = p.user_id "
+            "AND e.event_type = 'error' AND p.event_type = 'purchase' "
+            "AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 4 HOUR"
         ),
         "streaming_session_windows": (
             # session_window semantics: windows [first, last+gap) merge

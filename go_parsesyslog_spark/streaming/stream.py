@@ -317,6 +317,85 @@ def availablenow_session_windows(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "4 hours",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: match right-stream rows
+    to left-stream rows of the same key where ``left_ts <= right_ts <=
+    left_ts + horizon``.  Both sides carry watermarks and the join
+    condition bounds BOTH event-time columns, which is what lets Spark
+    expire per-key state once the watermark passes ``left_ts + horizon``
+    — without the time-range bound a stream-stream join buffers both
+    streams forever (the unbounded-state failure mode at 100 TB ingest).
+
+    ``right`` must expose the key as the SAME column name `user_col`;
+    the right columns are otherwise assumed disjoint from the left's."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark).withColumnRenamed(
+        user_col, "_r_key"
+    )
+    cond = (
+        (F.col(user_col) == F.col("_r_key"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, how).drop("_r_key")
+
+
+def availablenow_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    horizon: str = "4 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Driver-gate surface for the stream-stream interval join: error
+    events joined to same-user purchase events within ``horizon`` after
+    the error (did the user buy despite the error?).  Inner joins emit
+    a match as soon as both rows exist — with the whole table in one
+    availableNow microbatch every qualifying pair emits, so the result
+    set equals the batch interval join and the DuckDB oracle replays it
+    exactly; the watermark + two-sided time bound still drive real
+    state expiry inside the join operator."""
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    err = (
+        _read_static_stream(spark, events_path, cols)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+    )
+    buy = (
+        _read_static_stream(spark, events_path, cols)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        err, buy, "user_id", "err_ts", "buy_ts",
+        horizon=horizon, watermark=watermark,
+    ).select(
+        "user_id",
+        "err_id",
+        "buy_id",
+        (
+            F.unix_timestamp("buy_ts") - F.unix_timestamp("err_ts")
+        ).cast("long").alias("delay_sec"),
+    )
+    return _materialize_availablenow(spark, joined, "stream_interval_join")
+
+
 _CONV_STATE_SCHEMA = "turns long, errors long, last_turn_idx long"
 _CONV_OUT_SCHEMA = (
     "conv_id string, turns long, errors long, last_turn_idx long"

@@ -340,3 +340,53 @@ def test_availablenow_result_survives_next_call(spark, sf_dir):
     assert first.count() == n_first
     assert second.count() == n_first
     assert n_first > 0
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join: with the whole table in
+    one availableNow microbatch, the inner join must equal the batch
+    interval join (error -> same-user purchase within the horizon),
+    including the boundary semantics (buy_ts == err_ts and
+    buy_ts == err_ts + horizon both match)."""
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_interval_join,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    got = {
+        (r.user_id, r.err_id, r.buy_id, r.delay_sec)
+        for r in availablenow_interval_join(
+            spark, path, horizon="4 hours"
+        ).collect()
+    }
+    ev = spark.read.parquet(path).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    err = ev.filter(F.col("event_type") == "error").selectExpr(
+        "event_id err_id", "user_id", "ts err_ts"
+    )
+    buy = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id buy_id", "user_id u2", "ts buy_ts"
+    )
+    want = {
+        (r.user_id, r.err_id, r.buy_id, r.delay)
+        for r in err.join(
+            buy,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("buy_ts") >= F.col("err_ts"))
+            & (
+                F.col("buy_ts")
+                <= F.col("err_ts") + F.expr("INTERVAL 4 HOURS")
+            ),
+        )
+        .select(
+            "user_id", "err_id", "buy_id",
+            (
+                F.unix_timestamp("buy_ts") - F.unix_timestamp("err_ts")
+            ).cast("long").alias("delay"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
