@@ -1337,6 +1337,36 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_length_profile(spark, sf_dir):
+    """Per-source corpus length distribution (operators/quality.
+    corpus_length_profile): exact interpolated p50/p90/p99 of char and
+    token lengths plus the exact mean — the numbers a curation pipeline
+    reads before setting length filters.  Integer inputs, identical
+    IEEE interpolation in DuckDB's quantile_cont → bit-replayable."""
+    from go_parsesyslog_spark.operators.quality import (
+        corpus_length_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_length_profile(docs)
+
+
+def q_normalize_profile(spark, sf_dir):
+    """Canonical text normalization (operators/quality.normalize_text):
+    NFC → lower → control-to-space → whitespace collapse, ASCII fast
+    path in Catalyst with only non-ASCII rows routed through the Arrow
+    NFC UDF.  Gated by per-doc md5 of the normalized text plus its
+    length, so any divergence in any row fails the hash."""
+    from go_parsesyslog_spark.operators.quality import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("norm_text").cast("long").alias("norm_len"),
+        F.md5("norm_text").alias("norm_md5"),
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters (operators/sketches.cms_heavy_hitters):
     top-20 corpus terms by CMS estimate (depth 4, width 128 — narrow on
@@ -1469,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "length_profile": q_length_profile,
+        "normalize_profile": q_normalize_profile,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -2016,6 +2048,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, "
             "term, tf, doc_freq, round(score, 6) AS score FROM r "
             "WHERE rank <= 3"
+        ),
+        "length_profile": (
+            # exact interpolated quantiles over integer lengths:
+            # quantile_cont's lo + (hi-lo)*frac is the same IEEE
+            # arithmetic as Spark's percentile; the mean is an integer
+            # sum with one final division
+            "WITH l AS (SELECT source, length(text)::BIGINT AS chars, "
+            "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END)::BIGINT "
+            "AS toks FROM documents) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "round(sum(chars) / CAST(count(*) AS DOUBLE), 4) AS "
+            "mean_chars, "
+            "round(quantile_cont(chars, 0.5), 4) AS p50_chars, "
+            "round(quantile_cont(chars, 0.9), 4) AS p90_chars, "
+            "round(quantile_cont(chars, 0.99), 4) AS p99_chars, "
+            "round(quantile_cont(toks, 0.5), 4) AS p50_toks, "
+            "round(quantile_cont(toks, 0.9), 4) AS p90_toks, "
+            "round(quantile_cont(toks, 0.99), 4) AS p99_toks "
+            "FROM l GROUP BY source"
+        ),
+        "normalize_profile": (
+            # NFC -> lower -> control chars to spaces -> collapse \s+
+            # -> trim, then md5 the result: any per-row divergence in
+            # the normalization chain fails the hash
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "length(n)::BIGINT AS norm_len, md5(n) AS norm_md5 FROM ("
+            "SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "lower(nfc_normalize(text)), '[\\x00-\\x1f\\x7f]', ' ', "
+            "'g'), '\\s+', ' ', 'g')) AS n FROM documents)"
         ),
         "cms_heavy_hitters": (
             # Count-Min replay: 4 salted md5 hash rows into 128 buckets,

@@ -129,6 +129,88 @@ def redact_pii(
     return df.select("*", *counts, cur.alias(out_col))
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization for dedup keys and training text:
+    Unicode NFC → lowercase → control chars to spaces → whitespace
+    collapsed → trimmed.
+
+    Scale shape: everything except NFC is Catalyst (``lower`` +
+    two JVM ``regexp_replace``); NFC itself needs Python's
+    ``unicodedata``, so only rows that actually CONTAIN non-ASCII are
+    routed through the Arrow-batched pandas UDF — on a mostly-ASCII
+    corpus the UDF sees a sliver of the data and the hot path stays
+    inside whole-stage codegen.  For pure-ASCII rows NFC is the
+    identity, so the fast path is semantics-preserving, not a
+    shortcut.
+    """
+    import unicodedata
+
+    # lambda form: the module-level `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf inference rejects
+    _nfc = F.pandas_udf(
+        lambda s: s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        ),
+        "string",
+    )
+
+    col = F.col(text_col)
+    nfc = F.when(col.rlike(r"[^\x00-\x7F]"), _nfc(col)).otherwise(col)
+    no_ctl = F.regexp_replace(F.lower(nfc), r"[\x00-\x1F\x7F]", " ")
+    return df.withColumn(
+        out_col, F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
+    )
+
+
+def corpus_length_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus length distribution: doc count, mean, and
+    interpolated p50/p90/p99 of character length and whitespace token
+    count — the profile a curation pipeline reads before setting
+    length-filter thresholds.
+
+    Exact (not sketched) quantiles ON PURPOSE: Spark's ``percentile``
+    aggregates a value→count map per group, which is bounded by the
+    number of DISTINCT lengths (a few thousand values however large the
+    corpus), so the exact form scales here and stays engine-replayable
+    — interpolation is ``lo + (hi-lo)*frac`` on integer inputs, the
+    same IEEE ops DuckDB's ``quantile_cont`` performs.  The mean is an
+    exact integer sum with one final IEEE division.  One
+    map-side-combinable shuffle on the group key.
+    """
+    t = F.trim(F.col(text_col))
+    lens = df.select(
+        F.col(group_col),
+        F.length(text_col).cast("long").alias("_chars"),
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+        .alias("_toks"),
+    )
+
+    def pcts(c: str, tag: str):
+        p = F.percentile(F.col(c), F.lit([0.5, 0.9, 0.99]))
+        return [
+            F.round(p[0], 4).alias(f"p50_{tag}"),
+            F.round(p[1], 4).alias(f"p90_{tag}"),
+            F.round(p[2], 4).alias(f"p99_{tag}"),
+        ]
+
+    return lens.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("_chars") / F.count(F.lit(1)), 4).alias("mean_chars"),
+        *pcts("_chars", "chars"),
+        *pcts("_toks", "toks"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -127,3 +127,66 @@ def test_quantized_topk_matches_exact_on_separated_corpus(spark):
     # integer dot products are exact: vec1's max component quantizes
     # to exactly 127 (x == max|v| → q = floor(127.0) per-vector scale)
     assert quant[0]["qdot"] == 127 * 127
+
+
+# ------------------------------------------------- text normalization
+
+
+def test_normalize_text_nfc_and_case(spark):
+    from go_parsesyslog_spark.operators.quality import normalize_text
+
+    # "Cafe" + combining acute (NFD) must normalize to the precomposed
+    # NFC form, lowercased; ASCII row must take the fast path untouched
+    nfd = "Café  DU  Monde"
+    rows = [(1, nfd), (2, "Plain  ASCII\tText")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(df).collect()}
+    assert out[1] == "café du monde"
+    assert out[2] == "plain ascii text"
+
+
+def test_normalize_text_control_chars_and_null(spark):
+    from go_parsesyslog_spark.operators.quality import normalize_text
+
+    rows = [(1, "a\x00b\x1fc\x7fd"), (2, "  x  "), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(df).collect()}
+    assert out[1] == "a b c d"
+    assert out[2] == "x"
+    assert out[3] is None
+
+
+# ------------------------------------------------ length distribution
+
+
+def test_corpus_length_profile_exact_quantiles(spark):
+    from go_parsesyslog_spark.operators.quality import (
+        corpus_length_profile,
+    )
+
+    # lengths 10..19 in one group: p50 of [10..19] interpolates to
+    # 14.5; p90 to 18.1; p99 to 18.91; mean 14.5 exactly
+    rows = [(i, "web", "x" * (10 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = corpus_length_profile(df).collect()[0]
+    assert r["n_docs"] == 10
+    assert r["mean_chars"] == 14.5
+    assert r["p50_chars"] == 14.5
+    assert r["p90_chars"] == 18.1
+    assert r["p99_chars"] == 18.91
+    # "x"*n is a single token in every doc
+    assert r["p50_toks"] == 1.0 and r["p99_toks"] == 1.0
+
+
+def test_corpus_length_profile_empty_text_tokens(spark):
+    from go_parsesyslog_spark.operators.quality import (
+        corpus_length_profile,
+    )
+
+    rows = [(1, "a", ""), (2, "a", "one two three")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = corpus_length_profile(df).collect()[0]
+    # empty text counts 0 tokens (not the split('')==[''] artifact)
+    assert r["p50_toks"] == 1.5  # interpolated between 0 and 3
