@@ -1443,6 +1443,74 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_conv_reassembly(spark, sf_dir):
+    """Stable-ordered conversation reassembly
+    (operators/conversation.reassemble_conversations): the north-rule
+    per-turn-ordering invariant as a query.  Events are the transcript
+    (user_id = conv key, (ts, event_id) = the stable total turn order,
+    event_type = the turn text); the md5 of the ordered path makes ANY
+    ordering or content divergence a hash mismatch.  One exchange on
+    the conversation key; per-group payload bounded by conversation
+    length."""
+    from go_parsesyslog_spark.operators.conversation import (
+        reassemble_conversations,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = reassemble_conversations(
+        ev, "user_id", "event_type", ["ts", "event_id"]
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_turns",
+        "path_md5",
+        F.col("first_text").alias("first_type"),
+        F.col("last_text").alias("last_type"),
+    )
+
+
+def q_turn_transitions(spark, sf_dir):
+    """Turn-type Markov transitions
+    (operators/conversation.turn_transitions): counts of consecutive
+    (prev event_type -> event_type) pairs within each user's stable
+    turn order.  One window shuffle on the conversation key, then a
+    map-side-combinable count on the tiny type x type key space."""
+    from go_parsesyslog_spark.operators.conversation import turn_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return turn_transitions(ev, "user_id", "event_type", ["ts", "event_id"])
+
+
+def q_turn_gap_stats(spark, sf_dir):
+    """Inter-turn latency profile by turn type
+    (operators/conversation.turn_gap_stats): whole-second gaps since
+    the previous turn of the same conversation, aggregated per
+    event_type as exact integer count/sum/max (float-free hash)."""
+    from go_parsesyslog_spark.operators.conversation import turn_gap_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return turn_gap_stats(
+        ev, "user_id", "ts", ["ts", "event_id"], "event_type"
+    )
+
+
+def q_doc_chunking(spark, sf_dir):
+    """Context-window chunking (operators/curation.chunk_documents):
+    size-256 chunks at stride 192 (25% overlap), digest-only output.
+    Purely narrow — sequence -> explode -> substring, zero exchanges —
+    the linear-scaling shape for 10^12-doc packing."""
+    from go_parsesyslog_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=256, stride=192).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_idx",
+        "chunk_start",
+        "chunk_len",
+        "chunk_md5",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1501,6 +1569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "length_profile": q_length_profile,
         "normalize_profile": q_normalize_profile,
+        "conv_reassembly": q_conv_reassembly,
+        "turn_transitions": q_turn_transitions,
+        "turn_gap_stats": q_turn_gap_stats,
+        "doc_chunking": q_doc_chunking,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -2078,6 +2150,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, trim(regexp_replace(regexp_replace("
             "lower(nfc_normalize(text)), '[\\x00-\\x1f\\x7f]', ' ', "
             "'g'), '\\s+', ' ', 'g')) AS n FROM documents)"
+        ),
+        "conv_reassembly": (
+            # stable (ts, event_id) turn order per conversation; md5 of
+            # the ordered type path pins ordering AND content
+            "SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_turns, "
+            "md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS path_md5, "
+            "first(event_type ORDER BY ts, event_id) AS first_type, "
+            "last(event_type ORDER BY ts, event_id) AS last_type "
+            "FROM events GROUP BY user_id"
+        ),
+        "turn_transitions": (
+            "WITH t AS (SELECT user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS prev_state, event_type AS curr_state, "
+            "count(*)::BIGINT AS n FROM t WHERE prev IS NOT NULL "
+            "GROUP BY prev, event_type"
+        ),
+        "turn_gap_stats": (
+            # date_diff('second') == unix-second truncation, the proven
+            # sessionize pairing with Spark's unix_timestamp arithmetic
+            "WITH t AS (SELECT event_type, date_diff('second', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) "
+            "AS gap FROM events) "
+            "SELECT event_type, count(*)::BIGINT AS n_gaps, "
+            "sum(gap)::BIGINT AS sum_gap_sec, max(gap)::BIGINT AS max_gap_sec "
+            "FROM t WHERE gap IS NOT NULL GROUP BY event_type"
+        ),
+        "doc_chunking": (
+            # unnest(range(...)) replays the stride arithmetic: starts
+            # 1, 1+192, ... <= length(text) (>=1 chunk per doc; range's
+            # exclusive stop needs the +1)
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "((gs - 1) // 192)::BIGINT AS chunk_idx, gs::BIGINT AS chunk_start, "
+            "length(substr(text, gs::INT, 256))::BIGINT AS chunk_len, "
+            "md5(substr(text, gs::INT, 256)) AS chunk_md5 FROM ("
+            "SELECT doc_id, text, unnest(range(1, greatest(length(text), 1) "
+            "+ 1, 192)) AS gs FROM documents)"
         ),
         "cms_heavy_hitters": (
             # Count-Min replay: 4 salted md5 hash rows into 128 buckets,

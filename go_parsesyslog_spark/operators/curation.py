@@ -147,3 +147,39 @@ def stratified_sample(
             F.col(strata_col) == k, F.lit(int(v * rate_denominator))
         ).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size character chunks — the context-window
+    packing step of a training pipeline (size=window, stride<size gives
+    overlap).  Chunk starts are 1-based positions 1, 1+stride, ... up
+    to length(text) inclusive (so a doc always yields >=1 chunk and the
+    tail is never dropped); each chunk is substring(text, start, size),
+    length-capped at end of doc.
+
+    Emits (id, chunk_idx, chunk_start, chunk_len, chunk_md5) — a
+    digest, not the chunk text, so output stays proportional to chunk
+    COUNT.  Purely narrow (sequence -> posexplode -> substring, no
+    exchange): each input partition expands locally, the shape that
+    scales linearly to 10^12 docs.  DuckDB replays it with a lateral
+    generate_series over the same arithmetic."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)),
+                        F.lit(stride))
+    chunk = F.substring(F.col(text_col), F.col("_start"), size)
+    return (
+        docs.select(F.col(id_col), F.col(text_col),
+                    F.explode(starts).alias("_start"))
+        .select(
+            F.col(id_col),
+            ((F.col("_start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.col("_start").cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
