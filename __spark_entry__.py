@@ -1511,6 +1511,67 @@ def q_doc_chunking(spark, sf_dir):
     )
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Backward as-of join (operators/joins.asof_join): every click
+    event picks up the user's latest purchase at-or-before it (id +
+    whole-second staleness).  Merge formulation — union-tag + one
+    window on the key — so it's ONE shuffle and linear work, never the
+    BroadcastNestedLoopJoin a `r.ts <= l.ts` theta-join degenerates
+    to.  DuckDB replays it with its native ASOF JOIN — an independent
+    implementation of the same semantics."""
+    from go_parsesyslog_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    out = asof_join(
+        clicks, buys, "user_id", "ts", "buy_ts",
+        right_cols=["buy_id"], right_order="buy_id",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("buy_id").cast("long").alias("buy_id"),
+        "asof_lag_sec",
+    )
+
+
+def q_range_attribution(spark, sf_dir):
+    """Bucketized range join (operators/joins.range_join): error
+    events landing inside a [purchase, purchase+30min) attribution
+    window of the same user.  Containment becomes an equi-join on
+    (user, 1800s bucket) + residual predicate — the shuffled-hash
+    path, never a nested-loop — with each interval exploding into at
+    most 2 bucket rows.  Oracle = the plain inequality join."""
+    from go_parsesyslog_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    buy = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    out = range_join(err, buy, "user_id", "ts", "win_start", "win_end",
+                     bucket_sec=1800)
+    return out.select(
+        F.col("err_id").cast("long").alias("err_id"),
+        F.col("buy_id").cast("long").alias("buy_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("win_start"))
+        .cast("long").alias("delay_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1573,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_transitions": q_turn_transitions,
         "turn_gap_stats": q_turn_gap_stats,
         "doc_chunking": q_doc_chunking,
+        "asof_enrich": q_asof_enrich,
+        "range_attribution": q_range_attribution,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -2187,6 +2250,29 @@ def oracle_sql() -> dict[str, str]:
             "md5(substr(text, gs::INT, 256)) AS chunk_md5 FROM ("
             "SELECT doc_id, text, unnest(range(1, greatest(length(text), 1) "
             "+ 1, 192)) AS gs FROM documents)"
+        ),
+        "asof_enrich": (
+            # native ASOF JOIN — an independent engine's implementation
+            # of the backward-inclusive as-of semantics
+            "SELECT c.event_id::BIGINT AS event_id, "
+            "c.user_id::BIGINT AS user_id, b.buy_id::BIGINT AS buy_id, "
+            "date_diff('second', b.buy_ts, c.ts)::BIGINT AS asof_lag_sec "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN (SELECT user_id AS b_user, ts AS buy_ts, "
+            "event_id AS buy_id FROM events WHERE event_type = 'purchase') b "
+            "ON c.user_id = b.b_user AND c.ts >= b.buy_ts"
+        ),
+        "range_attribution": (
+            # the plain inequality join the bucketized equi-join must
+            # reproduce exactly
+            "SELECT e.event_id::BIGINT AS err_id, b.event_id::BIGINT AS buy_id, "
+            "e.user_id::BIGINT AS user_id, "
+            "date_diff('second', b.ts, e.ts)::BIGINT AS delay_sec "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+            "JOIN (SELECT * FROM events WHERE event_type = 'purchase') b "
+            "ON e.user_id = b.user_id AND e.ts >= b.ts "
+            "AND e.ts < b.ts + INTERVAL 30 MINUTE"
         ),
         "cms_heavy_hitters": (
             # Count-Min replay: 4 salted md5 hash rows into 128 buckets,
