@@ -1572,6 +1572,48 @@ def q_range_attribution(spark, sf_dir):
     )
 
 
+def q_rolling_user_activity(spark, sf_dir):
+    """Trailing 7-calendar-day rolling activity per user
+    (operators/aggregate.rolling_daily_counts): RANGE-frame window over
+    integer day numbers so missing days are skipped, not counted back
+    as rows.  Raw events collapse to (user, day) map-side first; the
+    window runs over the tiny daily frame."""
+    from go_parsesyslog_spark.operators.aggregate import rolling_daily_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_daily_counts(ev, "user_id", "ts", window_days=7)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "day_num", "n_day", "n_rolling",
+    )
+
+
+def q_hourly_anomalies(spark, sf_dir):
+    """Hourly volume anomaly flags per event type
+    (operators/aggregate.hourly_anomalies): the 3-sigma z-test done in
+    exact integer cross-multiplication — (H·n − Σn)²·(H−1) >
+    9·(H·Σn² − (Σn)²) — so the flag is independent of float summation
+    order and bit-replayable by the oracle."""
+    from go_parsesyslog_spark.operators.aggregate import hourly_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return hourly_anomalies(ev, "event_type", "ts", z_threshold=3)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-source doc-length quantiles
+    (operators/aggregate.group_quantiles): p25/p50/p75 of n_chars at
+    dyadic probabilities, where Spark's exact `percentile` and DuckDB's
+    `quantile_cont` produce BIT-IDENTICAL doubles (every interpolation
+    term is an exact dyadic rational on integer inputs)."""
+    from go_parsesyslog_spark.operators.aggregate import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quantiles(docs, "source", "n_chars").select(
+        "source", "n", "p25", "p50", "p75"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1636,6 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "asof_enrich": q_asof_enrich,
         "range_attribution": q_range_attribution,
+        "rolling_user_activity": q_rolling_user_activity,
+        "hourly_anomalies": q_hourly_anomalies,
+        "length_quantiles": q_length_quantiles,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -2273,6 +2318,39 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT * FROM events WHERE event_type = 'purchase') b "
             "ON e.user_id = b.user_id AND e.ts >= b.ts "
             "AND e.ts < b.ts + INTERVAL 30 MINUTE"
+        ),
+        "rolling_user_activity": (
+            # integer-day RANGE frame: calendar window, gap-safe
+            "WITH d AS (SELECT user_id, date_diff('day', DATE '1970-01-01', "
+            "ts::DATE)::BIGINT AS day_num, count(*)::BIGINT AS n_day "
+            "FROM events GROUP BY user_id, ts::DATE) "
+            "SELECT user_id::BIGINT AS user_id, day_num, n_day, "
+            "sum(n_day) OVER (PARTITION BY user_id ORDER BY day_num "
+            "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS n_rolling "
+            "FROM d"
+        ),
+        "hourly_anomalies": (
+            # exact integer 3-sigma cross-multiplication replay
+            "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, "
+            "count(*)::BIGINT AS n FROM events GROUP BY event_type, "
+            "date_trunc('hour', ts)), "
+            "t AS (SELECT event_type, count(*)::BIGINT AS hh, "
+            "sum(n)::BIGINT AS tot, sum(n*n)::BIGINT AS ssq FROM h "
+            "GROUP BY event_type) "
+            "SELECT h.event_type, h.hour_ts, h.n, "
+            "CASE WHEN t.hh > 1 THEN "
+            "(t.hh*h.n - t.tot)*(t.hh*h.n - t.tot)*(t.hh - 1) > "
+            "9*(t.hh*t.ssq - t.tot*t.tot) ELSE FALSE END AS is_anomaly "
+            "FROM h JOIN t ON h.event_type = t.event_type"
+        ),
+        "length_quantiles": (
+            # quantile_cont == Spark's exact percentile at dyadic p on
+            # integer inputs: bit-identical doubles
+            "SELECT source, count(*)::BIGINT AS n, "
+            "quantile_cont(n_chars, 0.25) AS p25, "
+            "quantile_cont(n_chars, 0.50) AS p50, "
+            "quantile_cont(n_chars, 0.75) AS p75 "
+            "FROM documents GROUP BY source"
         ),
         "cms_heavy_hitters": (
             # Count-Min replay: 4 salted md5 hash rows into 128 buckets,

@@ -9,7 +9,7 @@ group key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,6 +37,123 @@ def sink_metrics(df: DataFrame, window: str = "1 hour") -> DataFrame:
             "approx_convs",
             "total_msg_bytes",
         )
+    )
+
+
+def rolling_daily_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-key daily activity with a trailing ``window_days``-day
+    rolling count — the RANGE-frame window pattern (a ROWS frame would
+    be wrong whenever days are missing: 'last 7 calendar days' must
+    skip gaps, not count back 7 rows).
+
+    Two-level shape for scale: raw rows first collapse to (key, day)
+    via a map-side-combinable count — the window then runs over the
+    tiny daily frame (365 rows/key/year), never the raw events.  One
+    shuffle for the agg; the window reuses its partitioning (same key
+    prefix).  ``day_num`` is integer days since 1970-01-01, so the
+    RANGE frame is exact integer arithmetic on both engines.
+
+    Output: (key, day_num BIGINT, n_day BIGINT, n_rolling BIGINT)."""
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias(
+                "day_num"
+            ),
+        )
+        .groupBy(key_col, "day_num")
+        .agg(F.count(F.lit(1)).alias("n_day"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day_num")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        F.col(key_col),
+        F.col("day_num").cast("long").alias("day_num"),
+        F.col("n_day").cast("long").alias("n_day"),
+        F.sum("n_day").over(w).cast("long").alias("n_rolling"),
+    )
+
+
+def hourly_anomalies(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    z_threshold: int = 3,
+) -> DataFrame:
+    """Flag hours whose event count deviates more than ``z_threshold``
+    sample standard deviations from that group's hourly mean — with the
+    z-test done in EXACT integer cross-multiplication, so the flag is
+    bit-replayable by any engine (no float mean/stddev whose value
+    depends on distributed summation order):
+
+        |n - total/H| > z * sqrt((H*sumsq - total^2) / (H^2 (H-1)))
+      ⇔ (H*n - total)^2 * (H-1) > z^2 * (H*sumsq - total^2)
+
+    with H = number of distinct hours for the group, total = Σn,
+    sumsq = Σn².  Magnitudes stay far under 2^63 for daily/monthly
+    spans (n ≤ 10^6/hour, H ≤ 10^4 ⇒ LHS ≤ 10^20... so counts are
+    pre-bounded: callers at larger scale shard by month first — the
+    per-group arithmetic is exact within a month at 10^9 rows/hour).
+
+    Plan: hourly counts (map-side combined) → per-group totals (tiny)
+    → broadcast join back → pure projection.  Output: (group, hour_ts,
+    n BIGINT, is_anomaly BOOLEAN)."""
+    hourly = (
+        df.select(F.col(group_col), F.date_trunc("hour", ts_col).alias("hour_ts"))
+        .groupBy(group_col, "hour_ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = hourly.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_h"),
+        F.sum("n").alias("_tot"),
+        F.sum(F.col("n") * F.col("n")).alias("_ssq"),
+    )
+    d = F.col("_h") * F.col("n") - F.col("_tot")
+    flag = (d * d * (F.col("_h") - 1)) > (
+        F.lit(z_threshold * z_threshold)
+        * (F.col("_h") * F.col("_ssq") - F.col("_tot") * F.col("_tot"))
+    )
+    return (
+        hourly.join(F.broadcast(totals), group_col)
+        .select(
+            F.col(group_col),
+            "hour_ts",
+            F.col("n").cast("long").alias("n"),
+            F.when(F.col("_h") > 1, flag).otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group quantiles of an INTEGER column at dyadic
+    probabilities (k/2^m — 0.25/0.5/0.75): Spark's exact `percentile`
+    and DuckDB's `quantile_cont` share the definition q = v[i] +
+    f*(v[i+1]-v[i]) with i = floor(p*(n-1)), f = frac(p*(n-1)); for
+    dyadic p and integer values every term is an exact dyadic rational,
+    so the doubles are BIT-IDENTICAL across engines and partitionings
+    (non-dyadic p like 0.95 would not be — callers wanting those should
+    round).  Exact percentile sorts per group; for corpus-scale groups
+    prefer approx_percentile and drop the oracle to rows-only."""
+    aggs = [
+        F.expr(f"percentile({value_col}, {p})").alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *aggs
     )
 
 

@@ -1,0 +1,75 @@
+"""Rolling RANGE-frame counts, integer-exact anomaly flags, and
+dyadic-exact group quantiles."""
+
+import datetime
+
+from pyspark.sql import Row
+
+from go_parsesyslog_spark.operators.aggregate import (
+    group_quantiles,
+    hourly_anomalies,
+    rolling_daily_counts,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_rolling_skips_missing_days(spark):
+    # days 0, 1, 10: the day-10 rolling window must NOT include days
+    # 0/1 (a ROWS frame would)
+    rows = [Row(u=1, ts=_ts("2024-01-01 05:00:00")),
+            Row(u=1, ts=_ts("2024-01-01 06:00:00")),
+            Row(u=1, ts=_ts("2024-01-02 05:00:00")),
+            Row(u=1, ts=_ts("2024-01-11 05:00:00"))]
+    out = {
+        r["day_num"]: r
+        for r in rolling_daily_counts(
+            spark.createDataFrame(rows).repartition(3), "u", "ts", 7
+        ).collect()
+    }
+    d0 = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+    assert out[d0]["n_day"] == 2 and out[d0]["n_rolling"] == 2
+    assert out[d0 + 1]["n_rolling"] == 3       # day 2 sees day 1
+    assert out[d0 + 10]["n_rolling"] == 1      # day 11 sees nothing
+
+
+def test_anomaly_exact_flag(spark):
+    # 9 quiet hours of 10 events + 1 hour of 1000: the spike must flag,
+    # the quiet hours must not
+    rows = []
+    for h in range(9):
+        rows += [Row(g="a", ts=_ts(f"2024-01-01 0{h}:30:00"))] * 10
+    rows += [Row(g="a", ts=_ts("2024-01-01 09:30:00"))] * 1000
+    out = {
+        r["hour_ts"].hour: r["is_anomaly"]
+        for r in hourly_anomalies(
+            spark.createDataFrame(rows).repartition(4), "g", "ts", 3
+        ).collect()
+    }
+    assert out[9] is True
+    assert all(out[h] is False for h in range(9))
+
+
+def test_anomaly_single_hour_group_never_flags(spark):
+    rows = [Row(g="b", ts=_ts("2024-01-01 00:00:01"))]
+    out = hourly_anomalies(spark.createDataFrame(rows), "g", "ts").collect()
+    assert out[0]["is_anomaly"] is False
+
+
+def test_group_quantiles_dyadic_exact(spark):
+    # n=5 values 1..5: p25 -> index 1.0 exactly -> 2.0; p50 -> 3.0;
+    # p75 -> 4.0.  n=4 values 10,20,30,40: p50 -> 25.0 (interpolated)
+    rows = [Row(g="a", v=i) for i in (3, 1, 5, 2, 4)] + [
+        Row(g="b", v=i) for i in (40, 10, 30, 20)
+    ]
+    out = {
+        r["g"]: r
+        for r in group_quantiles(
+            spark.createDataFrame(rows).repartition(3), "g", "v"
+        ).collect()
+    }
+    assert (out["a"]["p25"], out["a"]["p50"], out["a"]["p75"]) == (2.0, 3.0, 4.0)
+    assert out["b"]["p50"] == 25.0
+    assert out["b"]["p25"] == 17.5
