@@ -1614,6 +1614,41 @@ def q_length_quantiles(spark, sf_dir):
     )
 
 
+def q_read_jsonl_corpus(spark, sf_dir):
+    """JSONL corpus source with DLQ (sources/jsonl.read_jsonl): the
+    documents table is materialized once as newline-delimited JSON with
+    every 41st line truncated mid-string (invalid by construction —
+    the unterminated last field), then read back with an EXPLICIT
+    schema (no inference pass) in PERMISSIVE+corrupt-column mode.  Bad
+    lines surface as err_code='bad_json' rows with NULL fields instead
+    of failing the job; the oracle reconstructs exactly which rows
+    those are from the same doc_id arithmetic."""
+    from go_parsesyslog_spark.sources.jsonl import read_jsonl
+
+    def build(path):
+        docs = _t(spark, sf_dir, "documents")
+        line = F.to_json(F.struct("doc_id", "text", "lang", "source"))
+        docs.select(
+            F.col("doc_id"), line.alias("l")
+        ).select(
+            F.when(
+                F.col("doc_id") % 41 == 0,
+                F.expr("substring(l, 1, length(l) - 2)"),
+            ).otherwise(F.col("l")).alias("value")
+        ).write.mode("overwrite").text(path)
+
+    path = _materialize_once(spark, sf_dir, "gps_jsonl", build)
+    df = read_jsonl(
+        spark, path, "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    )
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        "lang",
+        "err_code",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1681,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_activity": q_rolling_user_activity,
         "hourly_anomalies": q_hourly_anomalies,
         "length_quantiles": q_length_quantiles,
+        "read_jsonl_corpus": q_read_jsonl_corpus,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -2318,6 +2354,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT * FROM events WHERE event_type = 'purchase') b "
             "ON e.user_id = b.user_id AND e.ts >= b.ts "
             "AND e.ts < b.ts + INTERVAL 30 MINUTE"
+        ),
+        "read_jsonl_corpus": (
+            # every 41st line was truncated mid-string -> bad_json DLQ
+            # row with NULL fields; the rest parse intact
+            "SELECT CASE WHEN doc_id % 41 = 0 THEN NULL ELSE doc_id END"
+            "::BIGINT AS doc_id, "
+            "CASE WHEN doc_id % 41 = 0 THEN NULL ELSE length(text) END"
+            "::BIGINT AS n_chars, "
+            "CASE WHEN doc_id % 41 = 0 THEN NULL ELSE lang END AS lang, "
+            "CASE WHEN doc_id % 41 = 0 THEN 'bad_json' END AS err_code "
+            "FROM documents"
         ),
         "rolling_user_activity": (
             # integer-day RANGE frame: calendar window, gap-safe
