@@ -1649,6 +1649,42 @@ def q_read_jsonl_corpus(spark, sf_dir):
     )
 
 
+def q_upsample_mix(spark, sf_dir):
+    """Fractional epoch mixing (operators/curation.upsample_sources):
+    src0 repeated 2.5x (2 copies + a deterministic md5-bucket half),
+    src1 halved (0 or 1 copies), src2 dropped, everything else 1x.
+    The exact copy multiset is engine-replayable — no RNG."""
+    from go_parsesyslog_spark.operators.curation import upsample_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    out = upsample_sources(
+        docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+    )
+
+
+def q_deterministic_shuffle(spark, sf_dir):
+    """Reproducible global training order
+    (operators/curation.deterministic_shuffle): md5-of-id picks the
+    shard, a PER-SHARD row_number over (hash, id) gives the position —
+    16 parallel sorts, never one corpus-wide range sort, and the
+    resulting permutation is identical across runs/engines (unlike
+    orderBy(rand()))."""
+    from go_parsesyslog_spark.operators.curation import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, n_shards=16)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard_idx").cast("long").alias("shard_idx"),
+        "pos_in_shard",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1717,6 +1753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomalies": q_hourly_anomalies,
         "length_quantiles": q_length_quantiles,
         "read_jsonl_corpus": q_read_jsonl_corpus,
+        "upsample_mix": q_upsample_mix,
+        "deterministic_shuffle": q_deterministic_shuffle,
         "streaming_hourly_counts": q_streaming_hourly_counts,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
@@ -2354,6 +2392,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT * FROM events WHERE event_type = 'purchase') b "
             "ON e.user_id = b.user_id AND e.ts >= b.ts "
             "AND e.ts < b.ts + INTERVAL 30 MINUTE"
+        ),
+        "upsample_mix": (
+            # replay: whole copies per stratum + one md5-bucket
+            # fractional copy; factor-0 strata vanish (range(0,0)=[])
+            "WITH f AS (SELECT doc_id, source, "
+            "CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 "
+            "WHEN 'src2' THEN 0 ELSE 1 END "
+            "+ CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT "
+            "% 10000 < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' "
+            "THEN 5000 ELSE 0 END THEN 1 ELSE 0 END AS n_copies "
+            "FROM documents) "
+            "SELECT doc_id::BIGINT AS doc_id, source, "
+            "unnest(range(0, n_copies))::BIGINT AS copy_idx FROM f"
+        ),
+        "deterministic_shuffle": (
+            "SELECT doc_id::BIGINT AS doc_id, "
+            "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16)"
+            "::BIGINT AS shard_idx, "
+            "(row_number() OVER (PARTITION BY ('0x' || "
+            "substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 "
+            "ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT "
+            "AS pos_in_shard FROM documents"
         ),
         "read_jsonl_corpus": (
             # every 41st line was truncated mid-string -> bad_json DLQ

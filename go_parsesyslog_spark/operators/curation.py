@@ -149,6 +149,80 @@ def stratified_sample(
     return df.filter(bucket < rate)
 
 
+def upsample_sources(
+    docs: DataFrame,
+    factors: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    rate_denominator: int = 10_000,
+) -> DataFrame:
+    """Fractional per-stratum upsampling — the epoch-mixing operator
+    (e.g. repeat books 2.5x, CommonCrawl 1x): every row emits
+    ``floor(f)`` copies plus one more iff its md5-prefix bucket falls
+    under ``frac(f)`` — the same engine-agnostic arithmetic as
+    stratified_sample, so the EXACT copy multiset is deterministic
+    across runs, partitionings, and engines (no RNG).  Strata absent
+    from ``factors`` keep factor 1.0.
+
+    Output = input columns + ``copy_idx`` (0-based).  Narrow plan:
+    one sequence+explode per row, no shuffle; output size =
+    Σ f_s·|stratum| by construction."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("long") % rate_denominator
+    )
+    whole = F.lit(1)
+    frac = F.lit(0)
+    for k, v in sorted(factors.items()):
+        if v < 0:
+            raise ValueError(f"negative factor for {k!r}: {v}")
+        whole = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(whole)
+        frac = F.when(
+            F.col(strata_col) == k,
+            F.lit(int(round((v - int(v)) * rate_denominator))),
+        ).otherwise(frac)
+    n_copies = whole + F.when(bucket < frac, 1).otherwise(0)
+    # sequence(0, -1) would DESCEND ([0, -1]) — a factor of 0 (drop the
+    # stratum) must yield an empty array, not two phantom copies
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.withColumn("copy_idx", F.explode(copies))
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order assignment: every row gets
+    (shard_idx, pos_in_shard) from the md5 of its id — a reproducible
+    'shuffle' that is identical across runs, cluster sizes, and
+    engines, unlike orderBy(rand()).
+
+    Scale shape: NO global sort.  The md5 prefix picks the shard
+    (uniform by construction); the position is a row_number window
+    PARTITIONED by shard, ordered by (full hash, id) — n_shards
+    parallel sorts of |corpus|/n_shards rows each, not one corpus-wide
+    range sort.  Reading shards in index order then rows in position
+    order replays one fixed global permutation."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    )
+    w = Window.partitionBy("shard_idx").orderBy("_h", id_col)
+    return (
+        docs.withColumn("_h", h)
+        .withColumn("shard_idx", shard)
+        .withColumn(
+            "pos_in_shard", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_h")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     size: int,

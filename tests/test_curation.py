@@ -123,3 +123,61 @@ def test_stratified_sample_no_shuffle(spark):
     out = stratified_sample(df, {"a": 0.5})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_upsample_sources_copy_counts(spark):
+    from go_parsesyslog_spark.operators.curation import upsample_sources
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c").alias("source"),
+    )
+    out = upsample_sources(df, {"a": 2.5, "b": 0.0, "c": 1.0})
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # a: 334 docs x ~2.5; b dropped entirely; c exactly 1x
+    assert per.get("b") is None
+    assert per["c"] == 333
+    assert 334 * 2 <= per["a"] <= 334 * 3
+    # copy_idx is dense 0..k-1 per doc
+    mx = out.filter(F.col("source") == "a").groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.max("copy_idx").alias("m")).collect()
+    assert all(r["m"] == r["k"] - 1 for r in mx)
+    # deterministic across invocations
+    assert out.count() == upsample_sources(
+        df, {"a": 2.5, "b": 0.0, "c": 1.0}).count()
+
+
+def test_upsample_negative_factor_rejected(spark):
+    from go_parsesyslog_spark.operators.curation import upsample_sources
+
+    df = spark.range(1).select(F.col("id").alias("doc_id"),
+                               F.lit("a").alias("source"))
+    try:
+        upsample_sources(df, {"a": -1.0})
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_deterministic_shuffle_is_permutation(spark):
+    from go_parsesyslog_spark.operators.curation import deterministic_shuffle
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(df, n_shards=8).collect()
+    assert len(out) == 5000
+    # (shard, pos) pairs are unique and dense per shard
+    pairs = {(r["shard_idx"], r["pos_in_shard"]) for r in out}
+    assert len(pairs) == 5000
+    from collections import Counter
+    sizes = Counter(r["shard_idx"] for r in out)
+    assert set(sizes) == set(range(8))
+    for s, n in sizes.items():
+        assert {p for sh, p in pairs if sh == s} == set(range(n))
+    # same input -> identical permutation
+    again = {(r["doc_id"], r["shard_idx"], r["pos_in_shard"])
+             for r in deterministic_shuffle(df, n_shards=8).collect()}
+    assert again == {(r["doc_id"], r["shard_idx"], r["pos_in_shard"])
+                     for r in out}
