@@ -309,12 +309,19 @@ def pipeline_only() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     sf = float(os.environ.get("SPARK_GRAFT_SCALE_SF", _sf_from_dir(sf_dir)))
     # Pin the whole process tree (JVM + forked Python UDF workers +
-    # driver threads) to the first N CPUs.  Without this, local[N] only
-    # bounds JVM *task slots* — Python workers, the commit protocol, and
-    # driver-side work silently spill onto every physical core, which
-    # inflates the small-N run and corrupts the N→4N scaling evidence.
+    # driver threads) to N consecutive CPUs.  Without this, local[N]
+    # only bounds JVM *task slots* — Python workers, the commit
+    # protocol, and driver-side work silently spill onto every physical
+    # core, which inflates the small-N run and corrupts the N→4N
+    # scaling evidence.  SPARK_GRAFT_CPU_OFFSET moves the pinned range
+    # off CPUs 0..N-1: the low cores also host IRQ/housekeeping work
+    # and (on an oversubscribed host) a co-tenant's hot vCPUs, so a
+    # low-range pin can measure neighbor noise instead of the engine —
+    # runs at two offsets distinguish host-side contention (numbers
+    # move) from engine behavior (numbers agree).
+    offset = int(os.environ.get("SPARK_GRAFT_CPU_OFFSET", 0))
     try:
-        os.sched_setaffinity(0, set(range(cpus)))
+        os.sched_setaffinity(0, set(range(offset, offset + cpus)))
     except (AttributeError, OSError):
         pass  # non-Linux: affinity pinning unavailable, evidence weaker
     from go_parsesyslog_spark.session import get_spark
