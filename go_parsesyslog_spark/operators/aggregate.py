@@ -53,10 +53,13 @@ def rolling_daily_counts(
 
     Two-level shape for scale: raw rows first collapse to (key, day)
     via a map-side-combinable count — the window then runs over the
-    tiny daily frame (365 rows/key/year), never the raw events.  One
-    shuffle for the agg; the window reuses its partitioning (same key
-    prefix).  ``day_num`` is integer days since 1970-01-01, so the
-    RANGE frame is exact integer arithmetic on both engines.
+    tiny daily frame (365 rows/key/year), never the raw events.  Two
+    exchanges by necessity: the agg hash-partitions on (key, day),
+    which does NOT satisfy the window's partitionBy(key), so the
+    window re-shuffles — but only the collapsed daily rows, ~10^4x
+    smaller than the input.  ``day_num`` is integer days since
+    1970-01-01, so the RANGE frame is exact integer arithmetic on both
+    engines.
 
     Output: (key, day_num BIGINT, n_day BIGINT, n_rolling BIGINT)."""
     daily = (

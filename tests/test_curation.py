@@ -181,3 +181,13 @@ def test_deterministic_shuffle_is_permutation(spark):
              for r in deterministic_shuffle(df, n_shards=8).collect()}
     assert again == {(r["doc_id"], r["shard_idx"], r["pos_in_shard"])
                      for r in out}
+
+
+def test_upsample_is_narrow(spark):
+    from go_parsesyslog_spark.operators.curation import upsample_sources
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 F.lit("a").alias("source"))
+    plan = upsample_sources(df, {"a": 2.5})._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan

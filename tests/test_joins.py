@@ -95,3 +95,16 @@ def test_range_join_overlapping_intervals(spark):
     )
     got = range_join(pts, iv, "k", "ts", "s", "e", bucket_sec=3600).collect()
     assert sorted(r["iid"] for r in got) == [1, 2]
+
+
+def test_asof_plan_is_single_exchange(spark):
+    """The merge formulation's whole point: ONE shuffle on the key —
+    if a refactor introduces a second exchange (e.g. a join instead of
+    the union window), the linear-scaling claim is gone."""
+    left, right = _asof_frames(spark)
+    plan = asof_join(
+        left, right, "k", "ts", "rts", right_cols=["rid"], right_order="rid"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the fixture's own repartition() calls add RoundRobin exchanges;
+    # the operator itself must contribute exactly one key shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
