@@ -1685,6 +1685,112 @@ def q_deterministic_shuffle(spark, sf_dir):
     )
 
 
+def q_rollup_type_dow(spark, sf_dir):
+    """Hierarchical sink counters (operators/grouping.hierarchy_rollup):
+    every (event_type, weekday) level plus the per-type and grand
+    totals from ONE Expand + ONE shuffle — the reference's per-sink
+    counter (route.go sink counts) generalized to a sink hierarchy.
+    Integer-exact measures; rolled-up keys carry the 'ALL' sentinel
+    plus the SQL-standard grouping_id bitmask."""
+    from go_parsesyslog_spark.operators.grouping import hierarchy_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return hierarchy_rollup(
+        ev.withColumn("dow", F.weekday("ts").cast("long")),
+        ["event_type", "dow"],
+        {"n": F.count(F.lit(1)).cast("long"),
+         "sum_event_id": F.sum("event_id").cast("long")},
+    )
+
+
+def q_cube_status_priority(spark, sf_dir):
+    """Full CUBE over (o_orderstatus, o_orderpriority)
+    (operators/grouping.cube_counts): all four grouping combinations in
+    one Expand + one shuffle; BIGINT-only measures for float-free hash
+    replay."""
+    from go_parsesyslog_spark.operators.grouping import cube_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    return cube_counts(
+        orders, ["o_orderstatus", "o_orderpriority"],
+        {"n": F.count(F.lit(1)).cast("long"),
+         "sum_key": F.sum("o_orderkey").cast("long")},
+    )
+
+
+def q_grouping_sets_returns(spark, sf_dir):
+    """Explicit GROUPING SETS ((flag,status),(flag),())
+    (operators/grouping.grouping_sets_agg): the TPC-H Q1 key space at
+    three report levels from a single scan/shuffle.  sum(l_quantity)
+    is integral-valued in TPC-H so the BIGINT cast is exact on both
+    engines."""
+    from go_parsesyslog_spark.operators.grouping import grouping_sets_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouping_sets_agg(
+        li, [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        ["l_returnflag", "l_linestatus"],
+        {"n": F.count(F.lit(1)).cast("long"),
+         "sum_qty": F.sum("l_quantity").cast("long")},
+    )
+
+
+def q_unpivot_doc_metrics(spark, sf_dir):
+    """Wide->long feature export (operators/grouping.unpivot_metrics):
+    three per-doc metrics melted to (doc_id, metric, value) rows via
+    Spark's native UNPIVOT — purely narrow (one Expand, zero
+    exchanges), the linear-scaling shape for 10^12-doc feature-store
+    dumps."""
+    from go_parsesyslog_spark.operators.grouping import unpivot_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long")
+        .alias("n_ws_tokens"),
+        (F.length("text")
+         - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))
+         + F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return unpivot_metrics(
+        wide, ["doc_id"], ["n_chars", "n_ws_tokens", "n_lines"]
+    )
+
+
+def q_topk_users_dense(spark, sf_dir):
+    """Ties-preserving per-type top-k users
+    (operators/grouping.topk_per_group_dense): dense_rank keeps ALL
+    tied rows so the result is a deterministic SET under oracle replay;
+    Spark's WindowGroupLimit pushes the rank<=k filter below the group
+    shuffle, so only candidate top-k rows cross the wire — the top-k
+    plan you want at 10^12 rows."""
+    from go_parsesyslog_spark.operators.grouping import topk_per_group_dense
+
+    ev = _t(spark, sf_dir, "events")
+    return topk_per_group_dense(
+        ev, "event_type", "user_id", F.count(F.lit(1)), 3
+    )
+
+
+def q_funnel_click_purchase(spark, sf_dir):
+    """Conversation funnel latency (operators/grouping.funnel_latency):
+    whole seconds from each user's FIRST click to their first purchase
+    at-or-after it.  ONE shuffle: the key window and the (key, t_start)
+    agg share the partitioning (plan-verified: back-to-back
+    HashAggregates with no intervening Exchange)."""
+    from go_parsesyslog_spark.operators.grouping import funnel_latency
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel_latency(ev, "user_id", "ts", "event_type",
+                         "click", "purchase")
+    return out.select(
+        "user_id",
+        F.date_format("t_start", "yyyy-MM-dd HH:mm:ss").alias("t_start"),
+        "funnel_sec",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1759,6 +1865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_session_windows": q_streaming_session_windows,
         "streaming_interval_join": q_streaming_interval_join,
+        "rollup_type_dow": q_rollup_type_dow,
+        "cube_status_priority": q_cube_status_priority,
+        "grouping_sets_returns": q_grouping_sets_returns,
+        "unpivot_doc_metrics": q_unpivot_doc_metrics,
+        "topk_users_dense": q_topk_users_dense,
+        "funnel_click_purchase": q_funnel_click_purchase,
     }
 
 
@@ -2555,6 +2667,69 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN events p ON e.user_id = p.user_id "
             "AND e.event_type = 'error' AND p.event_type = 'purchase' "
             "AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 4 HOUR"
+        ),
+        "rollup_type_dow": (
+            # DuckDB GROUPING() returns the same SQL-standard bitmask
+            # as Spark's grouping_id(); isodow-1 == Spark's weekday()
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(dow::VARCHAR, 'ALL') AS dow, "
+            "GROUPING(event_type, dow)::BIGINT AS grouping_id, "
+            "count(*)::BIGINT AS n, "
+            "sum(event_id)::BIGINT AS sum_event_id "
+            "FROM (SELECT event_type, (isodow(ts) - 1)::BIGINT AS dow, "
+            "event_id FROM events) GROUP BY ROLLUP(event_type, dow)"
+        ),
+        "cube_status_priority": (
+            "SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "coalesce(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS "
+            "grouping_id, count(*)::BIGINT AS n, "
+            "sum(o_orderkey)::BIGINT AS sum_key "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "grouping_sets_returns": (
+            # l_quantity is integral-valued in TPC-H: the BIGINT cast
+            # of the double sum is exact on both engines
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "GROUPING(l_returnflag, l_linestatus)::BIGINT AS grouping_id, "
+            "count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS sum_qty "
+            "FROM lineitem GROUP BY GROUPING SETS "
+            "((l_returnflag, l_linestatus), (l_returnflag), ())"
+        ),
+        "unpivot_doc_metrics": (
+            # UNION ALL replays the melt; regexp_split_to_array mirrors
+            # Spark's split() on \s+ (both keep leading-empty fields)
+            r"WITH wide AS (SELECT doc_id::BIGINT AS doc_id, "
+            r"n_chars::BIGINT AS n_chars, "
+            r"len(regexp_split_to_array(text, '\s+'))::BIGINT AS "
+            r"n_ws_tokens, (length(text) - length(replace(text, "
+            r"chr(10), '')) + 1)::BIGINT AS n_lines FROM documents) "
+            "SELECT doc_id, 'n_chars' AS metric, n_chars AS value "
+            "FROM wide UNION ALL "
+            "SELECT doc_id, 'n_ws_tokens', n_ws_tokens FROM wide "
+            "UNION ALL SELECT doc_id, 'n_lines', n_lines FROM wide"
+        ),
+        "topk_users_dense": (
+            # dense_rank keeps all ties -> deterministic SET even
+            # though the count order among equals is arbitrary
+            "WITH counted AS (SELECT event_type, user_id, "
+            "count(*)::BIGINT AS n FROM events "
+            "GROUP BY event_type, user_id) "
+            "SELECT event_type, user_id::BIGINT AS user_id, n, "
+            "rnk::INT AS rnk FROM (SELECT *, dense_rank() OVER "
+            "(PARTITION BY event_type ORDER BY n DESC) AS rnk "
+            "FROM counted) WHERE rnk <= 3"
+        ),
+        "funnel_click_purchase": (
+            "WITH c AS (SELECT user_id, min(ts) AS t_start FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id) "
+            "SELECT e.user_id::BIGINT AS user_id, "
+            "strftime(c.t_start, '%Y-%m-%d %H:%M:%S') AS t_start, "
+            "date_diff('second', c.t_start, min(e.ts))::BIGINT AS "
+            "funnel_sec FROM events e JOIN c USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND e.ts >= c.t_start "
+            "GROUP BY e.user_id, c.t_start"
         ),
         "streaming_session_windows": (
             # session_window semantics: windows [first, last+gap) merge
