@@ -1791,6 +1791,25 @@ def q_funnel_click_purchase(spark, sf_dir):
     )
 
 
+def q_pivot_type_counts(spark, sf_dir):
+    """Long->wide PIVOT (operators/grouping.pivot_wide): per-user event
+    counts as one static-schema wide row.  Conditional aggregation =
+    one scan, ONE shuffle (vs Dataset.pivot's two-exchange pivotfirst);
+    explicit values = no distinct-discovery job.  The unpivot query's
+    inverse, closing the reshape pair."""
+    from go_parsesyslog_spark.operators.grouping import pivot_wide
+
+    ev = _t(spark, sf_dir, "events")
+    return pivot_wide(
+        ev, "user_id", "event_type",
+        ["view", "click", "purchase", "signup", "error"],
+        prefix="n_",
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_view", "n_click", "n_purchase", "n_signup", "n_error",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1871,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_doc_metrics": q_unpivot_doc_metrics,
         "topk_users_dense": q_topk_users_dense,
         "funnel_click_purchase": q_funnel_click_purchase,
+        "pivot_type_counts": q_pivot_type_counts,
     }
 
 
@@ -2730,6 +2750,17 @@ def oracle_sql() -> dict[str, str]:
             "funnel_sec FROM events e JOIN c USING (user_id) "
             "WHERE e.event_type = 'purchase' AND e.ts >= c.t_start "
             "GROUP BY e.user_id, c.t_start"
+        ),
+        "pivot_type_counts": (
+            # conditional counts == pivot with explicit values
+            "SELECT user_id::BIGINT AS user_id, "
+            "count(*) FILTER (event_type = 'view')::BIGINT AS n_view, "
+            "count(*) FILTER (event_type = 'click')::BIGINT AS n_click, "
+            "count(*) FILTER (event_type = 'purchase')::BIGINT AS "
+            "n_purchase, "
+            "count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup, "
+            "count(*) FILTER (event_type = 'error')::BIGINT AS n_error "
+            "FROM events GROUP BY user_id"
         ),
         "streaming_session_windows": (
             # session_window semantics: windows [first, last+gap) merge

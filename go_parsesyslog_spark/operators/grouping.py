@@ -118,6 +118,44 @@ def unpivot_metrics(
     )
 
 
+def pivot_wide(
+    df: DataFrame,
+    key_col: str,
+    pivot_col: str,
+    values: list[str],
+    measure=None,
+    prefix: str = "",
+) -> DataFrame:
+    """Long -> wide PIVOT: one output row per key, one integer measure
+    column per pivot value (``prefix + value``).  ``measure`` is a
+    callable (condition Column) -> aggregate Column; default
+    conditional count.
+
+    Deliberately NOT ``Dataset.pivot``: even with explicit values,
+    Spark's pivot plans a (key, pivot) pre-aggregate plus a pivotfirst
+    aggregate — TWO exchanges.  Direct conditional aggregation is one
+    scan and ONE shuffle on ``key_col`` with map-side partials — the
+    plan a 10^12-row reshape needs (and explicit ``values`` means no
+    distinct-discovery job either).  Values absent from the data yield
+    0, so the output schema is static — what a downstream feature
+    store requires."""
+    measure = measure or (lambda cond: F.count(F.when(cond, 1)))
+    out = df.groupBy(key_col).agg(
+        *[
+            measure(F.col(pivot_col) == v).alias(f"{prefix}{v}")
+            for v in values
+        ]
+    )
+    return out.select(
+        key_col,
+        *[
+            F.coalesce(F.col(f"`{prefix}{v}`"), F.lit(0)).cast("long")
+            .alias(f"{prefix}{v}")
+            for v in values
+        ],
+    )
+
+
 def topk_per_group_dense(
     df: DataFrame,
     group_col: str,

@@ -14,6 +14,7 @@ from go_parsesyslog_spark.operators.grouping import (
     funnel_latency,
     grouping_sets_agg,
     hierarchy_rollup,
+    pivot_wide,
     topk_per_group_dense,
     unpivot_metrics,
 )
@@ -96,6 +97,26 @@ def test_unpivot_round_trip_and_narrow(spark):
     assert rows == {(1, "m1"): 10, (1, "m2"): 100,
                     (2, "m1"): 20, (2, "m2"): 200}
     assert "Exchange" not in _plan(out)
+
+
+def test_pivot_wide_static_schema(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b")], "id long, t string"
+    )
+    out = pivot_wide(df, "id", "t", ["a", "b", "c"], prefix="n_")
+    assert out.columns == ["id", "n_a", "n_b", "n_c"]
+    rows = {r["id"]: (r["n_a"], r["n_b"], r["n_c"]) for r in out.collect()}
+    # absent pivot value 'c' -> 0, never NULL (static downstream schema)
+    assert rows == {1: (2, 1, 0), 2: (0, 1, 0)}
+
+
+def test_pivot_is_single_aggregate(spark):
+    """Conditional aggregation => ONE hash-aggregate (one shuffle) —
+    unlike Dataset.pivot's two-exchange pivotfirst plan."""
+    df = spark.createDataFrame([(1, "a")], "id long, t string")
+    plan = _plan(pivot_wide(df, "id", "t", ["a", "b"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "pivotfirst" not in plan, plan
 
 
 def test_topk_dense_keeps_ties(spark):
