@@ -1810,6 +1810,46 @@ def q_pivot_type_counts(spark, sf_dir):
     )
 
 
+def q_grok_extract(spark, sf_dir):
+    """Generic grok template parse (operators/grok.grok_parse, arrow
+    mode — ONE compiled regex per Arrow batch, the north-star 'compiled
+    grok patterns in batched operations' form).  Each event formats a
+    deterministic app log line (10% corrupted -> all-NULL + matched=
+    false, the DLQ discipline); grok inverts it back to typed columns.
+    The oracle never runs a regex: it computes the expected fields
+    straight from the source columns, so ANY extraction defect is a
+    hash mismatch.  Plan: scan -> ArrowEvalPython -> project, zero
+    exchanges."""
+    from go_parsesyslog_spark.operators.grok import grok_parse
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("<"), (F.col("event_id") % 192).cast("string"),
+        F.lit(">host-"),
+        F.lpad((F.col("user_id") % 50).cast("string"), 2, "0"),
+        F.lit(" app"), (F.col("event_id") % 12).cast("string"),
+        F.lit("["), (F.col("event_id") % 32000).cast("string"),
+        F.lit("]: action="), F.col("event_type"),
+        F.lit(" latency="), (F.col("event_id") % 900).cast("string"),
+        F.lit("ms"),
+    )
+    corrupted = F.when(
+        F.col("event_id") % 10 == 7, F.regexp_replace(line, "^<", "")
+    ).otherwise(line)
+    out = grok_parse(
+        ev.withColumn("line", corrupted), "line",
+        r"<%{INT:pri:int}>%{HOSTNAME:host} %{WORD:app}"
+        r"\[%{INT:pid:int}\]: action=%{WORD:action} "
+        r"latency=%{INT:latency_ms:int}ms",
+        mode="arrow",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "pri", "host", "app", "pid", "action", "latency_ms",
+        F.col("_grok_matched").alias("grok_matched"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1891,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_dense": q_topk_users_dense,
         "funnel_click_purchase": q_funnel_click_purchase,
         "pivot_type_counts": q_pivot_type_counts,
+        "grok_extract": q_grok_extract,
     }
 
 
@@ -2761,6 +2802,23 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup, "
             "count(*) FILTER (event_type = 'error')::BIGINT AS n_error "
             "FROM events GROUP BY user_id"
+        ),
+        "grok_extract": (
+            # regex-free oracle: the fields grok must recover are
+            # exactly the values the line was formatted from; corrupted
+            # rows (event_id % 10 = 7 strips the leading '<') must come
+            # back all-NULL with grok_matched = false
+            "SELECT event_id::BIGINT AS event_id, "
+            "CASE WHEN ok THEN (event_id % 192)::BIGINT END AS pri, "
+            "CASE WHEN ok THEN 'host-' || "
+            "lpad((user_id % 50)::VARCHAR, 2, '0') END AS host, "
+            "CASE WHEN ok THEN 'app' || (event_id % 12)::VARCHAR END "
+            "AS app, "
+            "CASE WHEN ok THEN (event_id % 32000)::BIGINT END AS pid, "
+            "CASE WHEN ok THEN event_type END AS action, "
+            "CASE WHEN ok THEN (event_id % 900)::BIGINT END AS "
+            "latency_ms, ok AS grok_matched "
+            "FROM (SELECT *, event_id % 10 <> 7 AS ok FROM events)"
         ),
         "streaming_session_windows": (
             # session_window semantics: windows [first, last+gap) merge
