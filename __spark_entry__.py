@@ -1850,6 +1850,41 @@ def q_grok_extract(spark, sf_dir):
     )
 
 
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality report (operators/checks.py): seven
+    constraints over lineitem — five row-local (ONE conditional-count
+    aggregate, one scan), a composite-key uniqueness (count minus
+    count-distinct in the same aggregate), and a broadcast-anti-join
+    referential check against orders.  Two constraints genuinely fail
+    on this data (price cap, composite-key dupes) so the violation
+    arithmetic is exercised, not just the zero path."""
+    from go_parsesyslog_spark.operators.checks import check_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return check_constraints(
+        li,
+        [
+            {"name": "orderkey_not_null", "kind": "not_null",
+             "col": "l_orderkey"},
+            {"name": "qty_range", "kind": "in_range",
+             "col": "l_quantity", "lo": 1, "hi": 50},
+            {"name": "price_cap", "kind": "in_range",
+             "col": "l_extendedprice", "lo": 0, "hi": 50000},
+            {"name": "returnflag_domain", "kind": "matches",
+             "col": "l_returnflag", "regex": "^[ARN]$"},
+            {"name": "linestatus_domain", "kind": "in_set",
+             "col": "l_linestatus", "values": ["O", "F"]},
+            {"name": "line_pk_unique", "kind": "unique",
+             "cols": ["l_orderkey", "l_linenumber"]},
+            {"name": "order_fk", "kind": "ref_integrity",
+             "col": "l_orderkey", "ref": "orders",
+             "ref_col": "o_orderkey"},
+        ],
+        reference={"orders": orders},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1932,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_click_purchase": q_funnel_click_purchase,
         "pivot_type_counts": q_pivot_type_counts,
         "grok_extract": q_grok_extract,
+        "dq_checks": q_dq_checks,
     }
 
 
@@ -2819,6 +2855,33 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN ok THEN (event_id % 900)::BIGINT END AS "
             "latency_ms, ok AS grok_matched "
             "FROM (SELECT *, event_id % 10 <> 7 AS ok FROM events)"
+        ),
+        "dq_checks": (
+            # one FILTER-count per constraint; uniqueness = count minus
+            # distinct composite keys; FK = orphan-row count
+            "WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem), "
+            "v(cname, violations) AS ("
+            "SELECT 'orderkey_not_null', count(*) FILTER "
+            "(l_orderkey IS NULL)::BIGINT FROM lineitem UNION ALL "
+            "SELECT 'qty_range', count(*) FILTER (l_quantity IS NULL "
+            "OR l_quantity < 1 OR l_quantity > 50)::BIGINT "
+            "FROM lineitem UNION ALL "
+            "SELECT 'price_cap', count(*) FILTER (l_extendedprice IS "
+            "NULL OR l_extendedprice < 0 OR l_extendedprice > 50000)"
+            "::BIGINT FROM lineitem UNION ALL "
+            "SELECT 'returnflag_domain', count(*) FILTER "
+            "(l_returnflag IS NULL OR NOT regexp_matches(l_returnflag, "
+            "'^[ARN]$'))::BIGINT FROM lineitem UNION ALL "
+            "SELECT 'linestatus_domain', count(*) FILTER "
+            "(l_linestatus IS NULL OR l_linestatus NOT IN ('O', 'F'))"
+            "::BIGINT FROM lineitem UNION ALL "
+            "SELECT 'line_pk_unique', (count(*) - count(DISTINCT "
+            "(l_orderkey, l_linenumber)))::BIGINT FROM lineitem "
+            "UNION ALL SELECT 'order_fk', count(*)::BIGINT FROM "
+            "lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey NOT "
+            "IN (SELECT o_orderkey FROM orders)) "
+            'SELECT v.cname AS "constraint", v.violations, n.n_rows, '
+            "v.violations = 0 AS passed FROM v, n"
         ),
         "streaming_session_windows": (
             # session_window semantics: windows [first, last+gap) merge
