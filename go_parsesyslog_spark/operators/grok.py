@@ -9,13 +9,18 @@ regex (no named groups, so the same string runs on java.util.regex,
 Python ``re``, and DuckDB RE2 alike), then executes in one of two
 modes:
 
-* ``mode="jvm"`` — per-field ``regexp_extract`` inside whole-stage
-  codegen: zero Python, zero shuffles.  Each field re-runs the regex,
-  so cost grows with field count — right for narrow templates.
+* ``mode="jvm"`` (default) — per-field ``regexp_extract`` inside
+  whole-stage codegen: zero Python, zero shuffles.  Each field re-runs
+  the regex, yet measured on this host it still wins: 1.30M rows/s at
+  6 fields vs arrow's 0.93M, and 0.41 vs 0.38M rows/s even at 16
+  fields (2M/1M-row warm runs, local[8]) — java.util.regex inside
+  codegen beats the Arrow transfer cost at every width tried.
 * ``mode="arrow"`` — one vectorized pandas/Arrow batch UDF holding ONE
   compiled ``re`` object; ``Series.str.extract`` pulls every group in
   a single pass — the north-star "compiled grok/regex patterns in
-  batched numpy/pyarrow operations" form, right for wide templates.
+  batched numpy/pyarrow operations" form.  Use it when the template
+  needs Python-regex features Java lacks, or when the surrounding
+  pipeline already pays the Arrow boundary anyway.
 
 Both modes emit identical columns (differential-tested), preserve
 non-matching rows with all-NULL fields plus ``_grok_matched=false``
