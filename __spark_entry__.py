@@ -1885,6 +1885,25 @@ def q_dq_checks(spark, sf_dir):
     )
 
 
+def q_contrastive_negatives(spark, sf_dir):
+    """Deterministic hard-negative sampling
+    (operators/curation.contrastive_negatives): for each user with a
+    purchase, the 5 non-purchase events with smallest md5(user:event)
+    — a seeded draw stable across runs/partitionings/engines.  One
+    shuffle: presence flag and ranking share the group window."""
+    from go_parsesyslog_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return contrastive_negatives(
+        ev, "user_id", "event_type", "purchase", 5, "event_id"
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "neg_id", "draw_rank",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1968,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_type_counts": q_pivot_type_counts,
         "grok_extract": q_grok_extract,
         "dq_checks": q_dq_checks,
+        "contrastive_negatives": q_contrastive_negatives,
     }
 
 
@@ -2882,6 +2902,20 @@ def oracle_sql() -> dict[str, str]:
             "IN (SELECT o_orderkey FROM orders)) "
             'SELECT v.cname AS "constraint", v.violations, n.n_rows, '
             "v.violations = 0 AS passed FROM v, n"
+        ),
+        "contrastive_negatives": (
+            # same md5 draw, same tiebreak -> identical sample set
+            "WITH pos AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "ranked AS (SELECT e.user_id, e.event_id, row_number() "
+            "OVER (PARTITION BY e.user_id ORDER BY "
+            "md5(e.user_id::VARCHAR || ':' || e.event_id::VARCHAR), "
+            "e.event_id) AS draw_rank FROM events e "
+            "JOIN pos USING (user_id) "
+            "WHERE e.event_type <> 'purchase') "
+            "SELECT user_id::BIGINT AS user_id, "
+            "event_id::BIGINT AS neg_id, draw_rank::INT AS draw_rank "
+            "FROM ranked WHERE draw_rank <= 5"
         ),
         "streaming_session_windows": (
             # session_window semantics: windows [first, last+gap) merge

@@ -257,3 +257,48 @@ def chunk_documents(
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    positive_value,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic hard-negative sampling for contrastive training
+    pairs: for every group that contains at least one positive row
+    (``label_col == positive_value``), emit the ``k`` non-positive rows
+    with the smallest ``md5(group || ':' || id)`` — a seeded "random"
+    draw that is identical across runs, partitionings, and engines
+    (the md5-bucket discipline train_val_split already uses; never
+    ``orderBy(rand())``, which reshuffles every run).
+
+    Plan: ONE shuffle on the group key — the positive-presence flag is
+    a window max over the same partitioning the ranking window needs,
+    so Catalyst plans both windows back-to-back on a single exchange.
+    Per-group state is the window sort, bounded by group size, never
+    corpus size.
+
+    Output: (group, neg_id BIGINT, draw_rank INT) — ``draw_rank`` is
+    the 1-based position in the md5 order, so downstream can take any
+    prefix without resampling."""
+    w = Window.partitionBy(group_col)
+    draw = F.md5(F.concat_ws(":", F.col(group_col), F.col(id_col)))
+    wrank = Window.partitionBy(group_col).orderBy(draw, F.col(id_col))
+    has_pos = F.max(
+        F.when(F.col(label_col) == positive_value, 1).otherwise(0)
+    ).over(w)
+    return (
+        df.withColumn("_has_pos", has_pos)
+        .filter((F.col("_has_pos") == 1)
+                & (F.col(label_col) != positive_value))
+        .withColumn("draw_rank", F.row_number().over(wrank))
+        .filter(F.col("draw_rank") <= k)
+        .select(
+            F.col(group_col),
+            F.col(id_col).cast("long").alias("neg_id"),
+            F.col("draw_rank").cast("int").alias("draw_rank"),
+        )
+    )

@@ -191,3 +191,42 @@ def test_upsample_is_narrow(spark):
     plan = upsample_sources(df, {"a": 2.5})._jdf.queryExecution()\
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_contrastive_negatives_semantics(spark):
+    from go_parsesyslog_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "pos"), (1, 11, "neg"), (1, 12, "neg"), (1, 13, "neg"),
+            (2, 20, "neg"),                      # no positive -> excluded
+            (3, 30, "pos"),                      # positives never sampled
+        ],
+        "grp long, id long, label string",
+    )
+    out = contrastive_negatives(df, "grp", "label", "pos", 2, "id")
+    rows = {(r["grp"], r["neg_id"]) for r in out.collect()}
+    assert all(g == 1 for g, _ in rows)          # only grp 1 qualifies
+    assert len(rows) == 2                        # k-capped
+    assert (1, 10) not in rows                   # the positive itself
+    # deterministic: same draw across a second run
+    again = {(r["grp"], r["neg_id"]) for r in
+             contrastive_negatives(df, "grp", "label", "pos", 2,
+                                   "id").collect()}
+    assert again == rows
+
+
+def test_contrastive_negatives_one_exchange(spark):
+    from go_parsesyslog_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "pos"), (1, 11, "neg")], "grp long, id long, label string"
+    )
+    plan = contrastive_negatives(df, "grp", "label", "pos", 1, "id")\
+        ._jdf.queryExecution().executedPlan().toString()
+    # presence flag + ranking share the group partitioning
+    assert plan.count("Exchange hashpartitioning") == 1, plan
