@@ -1904,6 +1904,20 @@ def q_contrastive_negatives(spark, sf_dir):
     )
 
 
+def q_profile_events(spark, sf_dir):
+    """One-pass per-column table profile
+    (operators/checks.profile_table): NULL count, exact distinct
+    count, total string length for all six event columns from a
+    single aggregate (multi-distinct planned as one Expand — one
+    shuffle of partial states, never six jobs)."""
+    from go_parsesyslog_spark.operators.checks import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -1988,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_extract": q_grok_extract,
         "dq_checks": q_dq_checks,
         "contrastive_negatives": q_contrastive_negatives,
+        "profile_events": q_profile_events,
     }
 
 
@@ -2916,6 +2931,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id::BIGINT AS user_id, "
             "event_id::BIGINT AS neg_id, draw_rank::INT AS draw_rank "
             "FROM ranked WHERE draw_rank <= 5"
+        ),
+        "profile_events": " UNION ALL ".join(
+            f"SELECT '{c}' AS column, "
+            f"count(*) FILTER ({c} IS NULL)::BIGINT AS n_null, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+            + (f"coalesce(sum(length({c})), 0)::BIGINT AS sum_len "
+               if c in ("event_type", "props") else
+               "0::BIGINT AS sum_len ")
+            + "FROM events"
+            for c in ("event_id", "ts", "user_id", "event_type",
+                      "value", "props")
         ),
         "streaming_session_windows": (
             # session_window semantics: windows [first, last+gap) merge

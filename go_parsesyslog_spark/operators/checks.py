@@ -136,3 +136,56 @@ def check_constraints(
     if out is None:
         raise ValueError("no constraints given")
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data profile in one pass: NULL count, exact distinct
+    count, and total string length (0 for non-strings) — the
+    ingest-time profiling report that sizes dictionaries, picks
+    bucketing keys, and catches schema drift before a 100 TB backfill.
+
+    One scan: every metric is an aggregate in a SINGLE agg call;
+    Spark plans the N count(distinct)s with one Expand (each input row
+    fans out once per column), keeping map-side partials — at 10^12
+    rows this is one shuffle of partial states, never N jobs.  For
+    corpora where exact distinct is too hot, swap count_distinct for
+    approx_count_distinct at the call site — same plan shape minus the
+    Expand.
+
+    All-BIGINT output (float-free oracle replay):
+    (column STRING, n_null BIGINT, n_distinct BIGINT, sum_len BIGINT).
+    """
+    from pyspark.sql.types import StringType
+
+    str_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType,
+                                                       StringType)
+    }
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).cast("long")
+            .alias(f"__null_{c}")
+        )
+        aggs.append(
+            F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}")
+        )
+        aggs.append(
+            (F.sum(F.length(F.col(c))) if c in str_cols else F.lit(0))
+            .cast("long").alias(f"__len_{c}")
+        )
+    base = df.agg(*aggs)
+    return base.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__null_{c}").alias("n_null"),
+                    F.col(f"__dist_{c}").alias("n_distinct"),
+                    F.coalesce(F.col(f"__len_{c}"), F.lit(0))
+                    .alias("sum_len"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    ).select("p.column", "p.n_null", "p.n_distinct", "p.sum_len")

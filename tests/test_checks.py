@@ -108,3 +108,27 @@ def test_row_local_constraints_are_one_aggregate(spark):
         {"name": "c", "kind": "matches", "col": "cat", "regex": "^a"},
     ])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_profile_table_metrics(spark):
+    from go_parsesyslog_spark.operators.checks import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, None), (2, "c")], "id long, s string"
+    )
+    out = {r["column"]: (r["n_null"], r["n_distinct"], r["sum_len"])
+           for r in profile_table(df, ["id", "s"]).collect()}
+    assert out["id"] == (0, 2, 0)       # non-string -> sum_len 0
+    assert out["s"] == (1, 2, 3)        # 'ab' + 'c'
+
+
+def test_profile_table_single_scan(spark):
+    from go_parsesyslog_spark.operators.checks import profile_table
+
+    df = spark.createDataFrame([(1, "a", 2.0)],
+                               "id long, s string, v double")
+    plan = profile_table(df, ["id", "s", "v"])\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    # multi-distinct is planned with one Expand, not one job per column
+    assert "Expand" in plan, plan
