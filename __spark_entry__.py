@@ -1810,6 +1810,41 @@ def q_pivot_type_counts(spark, sf_dir):
     )
 
 
+_GROK_TEMPLATE = (
+    r"<%{INT:pri:int}>%{HOSTNAME:host} %{WORD:app}"
+    r"\[%{INT:pid:int}\]: action=%{WORD:action} "
+    r"latency=%{INT:latency_ms:int}ms"
+)
+
+
+def _grok_demo_line():
+    """Deterministic app log line from event columns (10% corrupted:
+    the leading '<' is stripped so the match fails -> DLQ path).
+    Shared by the batch AND streaming grok gates so both replay the
+    same regex-free oracle."""
+    line = F.concat(
+        F.lit("<"), (F.col("event_id") % 192).cast("string"),
+        F.lit(">host-"),
+        F.lpad((F.col("user_id") % 50).cast("string"), 2, "0"),
+        F.lit(" app"), (F.col("event_id") % 12).cast("string"),
+        F.lit("["), (F.col("event_id") % 32000).cast("string"),
+        F.lit("]: action="), F.col("event_type"),
+        F.lit(" latency="), (F.col("event_id") % 900).cast("string"),
+        F.lit("ms"),
+    )
+    return F.when(
+        F.col("event_id") % 10 == 7, F.regexp_replace(line, "^<", "")
+    ).otherwise(line)
+
+
+def _grok_projection(parsed):
+    return parsed.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "pri", "host", "app", "pid", "action", "latency_ms",
+        F.col("_grok_matched").alias("grok_matched"),
+    )
+
+
 def q_grok_extract(spark, sf_dir):
     """Generic grok template parse (operators/grok.grok_parse, arrow
     mode — ONE compiled regex per Arrow batch, the north-star 'compiled
@@ -1823,31 +1858,32 @@ def q_grok_extract(spark, sf_dir):
     from go_parsesyslog_spark.operators.grok import grok_parse
 
     ev = _t(spark, sf_dir, "events")
-    line = F.concat(
-        F.lit("<"), (F.col("event_id") % 192).cast("string"),
-        F.lit(">host-"),
-        F.lpad((F.col("user_id") % 50).cast("string"), 2, "0"),
-        F.lit(" app"), (F.col("event_id") % 12).cast("string"),
-        F.lit("["), (F.col("event_id") % 32000).cast("string"),
-        F.lit("]: action="), F.col("event_type"),
-        F.lit(" latency="), (F.col("event_id") % 900).cast("string"),
-        F.lit("ms"),
-    )
-    corrupted = F.when(
-        F.col("event_id") % 10 == 7, F.regexp_replace(line, "^<", "")
-    ).otherwise(line)
     out = grok_parse(
-        ev.withColumn("line", corrupted), "line",
-        r"<%{INT:pri:int}>%{HOSTNAME:host} %{WORD:app}"
-        r"\[%{INT:pid:int}\]: action=%{WORD:action} "
-        r"latency=%{INT:latency_ms:int}ms",
-        mode="arrow",
+        ev.withColumn("line", _grok_demo_line()), "line",
+        _GROK_TEMPLATE, mode="arrow",
     )
-    return out.select(
-        F.col("event_id").cast("long").alias("event_id"),
-        "pri", "host", "app", "pid", "action", "latency_ms",
-        F.col("_grok_matched").alias("grok_matched"),
+    return _grok_projection(out)
+
+
+def q_streaming_grok_extract(spark, sf_dir):
+    """The SAME grok extraction under Structured Streaming
+    (streaming/stream.availablenow_grok_extract): readStream ->
+    synthesize line -> compiled-regex Arrow UDF inside the microbatch
+    -> append-mode memory sink.  Stateless (no state store, no
+    watermark), so rows flow through the one availableNow batch
+    unchanged — the gate evidence that grok composes with readStream
+    on the identical DataFrame code path, replaying the identical
+    regex-free oracle as the batch query."""
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_grok_extract,
     )
+
+    out = availablenow_grok_extract(
+        spark, f"{sf_dir}/events.parquet",
+        ["event_id", "user_id", "event_type"],
+        _grok_demo_line(), _GROK_TEMPLATE,
+    )
+    return _grok_projection(out)
 
 
 def q_dq_checks(spark, sf_dir):
@@ -2003,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "contrastive_negatives": q_contrastive_negatives,
         "profile_events": q_profile_events,
+        "streaming_grok_extract": q_streaming_grok_extract,
     }
 
 
@@ -2012,7 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN (event_id % 192) % 8 = 3 THEN 'error' "
         "WHEN (event_id % 192) % 8 <= 5 THEN 'warn' ELSE 'info' END"
     )
-    return {
+    out = {
         "rfc3164_parse": f"SELECT {_SQL_3164_FIELDS} FROM events",
         "rfc3164_dlq": (
             "SELECT event_id, CASE WHEN event_id % 250 > 191 "
@@ -2972,6 +3009,9 @@ def oracle_sql() -> dict[str, str]:
             for i in (1, 2, 3)
         ),
     }
+    # the streaming twin replays the batch query's regex-free oracle
+    out["streaming_grok_extract"] = out["grok_extract"]
+    return out
 
 
 def _hll_oracle_sql() -> str:

@@ -469,3 +469,29 @@ def stream_conv_state(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def availablenow_grok_extract(
+    spark: SparkSession,
+    events_path: str,
+    columns: list[str],
+    line_expr,
+    template: str,
+) -> DataFrame:
+    """Grok under Structured Streaming: the caller-supplied
+    ``line_expr`` Column synthesizes the text inside the stream, then
+    the compiled-template Arrow UDF (operators/grok.grok_parse,
+    mode="arrow") extracts typed fields inside the microbatch — a
+    stateless streaming projection: append mode, NO state store, no
+    watermark, so every input row flows straight through the one
+    availableNow batch.  This is the gate evidence that the grok
+    operator composes with readStream unchanged (same DataFrame code
+    path batch and stream — Structured Streaming's core contract).
+    Returns the raw parsed rows; callers project/rename."""
+    from go_parsesyslog_spark.operators.grok import grok_parse
+
+    src = _read_static_stream(spark, events_path, columns=columns)
+    parsed = grok_parse(
+        src.withColumn("line", line_expr), "line", template, mode="arrow"
+    )
+    return _materialize_availablenow(spark, parsed, "stream_grok")

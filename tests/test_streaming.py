@@ -390,3 +390,32 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_availablenow_grok_extract_matches_batch(spark, sf_dir):
+    """Streaming grok == batch grok on the same input: the identical
+    DataFrame code path (Structured Streaming's contract), stateless
+    append mode, one availableNow batch."""
+    import pyspark.sql.functions as F
+
+    from go_parsesyslog_spark.operators.grok import grok_parse
+    from go_parsesyslog_spark.streaming.stream import (
+        availablenow_grok_extract,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    line = F.concat(F.lit("k="), (F.col("event_id") % 97).cast("string"),
+                    F.lit(" t="), F.col("event_type"))
+    template = "k=%{INT:k:int} t=%{WORD:t}"
+    cols = ["event_id", "user_id", "event_type"]
+
+    streamed = availablenow_grok_extract(spark, path, cols, line, template)
+    batch = grok_parse(
+        spark.read.parquet(path).select(*cols).withColumn("line", line),
+        "line", template, mode="arrow",
+    )
+    s = sorted((r["event_id"], r["k"], r["t"], r["_grok_matched"])
+               for r in streamed.collect())
+    b = sorted((r["event_id"], r["k"], r["t"], r["_grok_matched"])
+               for r in batch.collect())
+    assert s == b and len(s) > 0
