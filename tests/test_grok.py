@@ -153,3 +153,53 @@ def test_parse_plan_has_no_exchange(spark, mode):
 def test_bad_mode_raises(spark):
     with pytest.raises(ValueError, match="unknown grok mode"):
         grok_parse(_df(spark), "text", TEMPLATE, mode="rdd")
+
+
+# ------------------------------------------------------- property tests
+# (driver-side only — pure-Python re round-trips, no Spark session, so
+# hypothesis can run hundreds of examples cheaply)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_lit = st.text(alphabet="abcdefgh :=/", min_size=1, max_size=8)
+_ints = st.integers(min_value=-10**9, max_value=10**9)
+_words = st.text(alphabet="abcdefghijklmnop_0123456789", min_size=1,
+                 max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lits=st.lists(_lit, min_size=3, max_size=5),
+    i=_ints,
+    w=_words,
+)
+def test_grok_template_roundtrip_property(lits, i, w):
+    """For any literal scaffolding (regex-safe alphabet) around an INT
+    and a WORD field, compiling the template and searching the line
+    rebuilt from concrete values recovers exactly those values."""
+    import re
+
+    template = (lits[0] + "%{INT:n:int}" + lits[1] + "%{WORD:w}"
+                + lits[2])
+    line = lits[0] + str(i) + lits[1] + w + lits[2]
+    rx, fields = grok_compile(template)
+    assert [f for f, _ in fields] == ["n", "w"]
+    m = re.search(rx, line)
+    assert m is not None
+    assert int(m.group(1)) == i
+    # WORD is greedy over \w: it must recover at least a prefix and,
+    # when the following literal starts with a non-word char, all of w
+    assert m.group(2) == w or w.startswith(m.group(2))
+    if not (lits[2][0].isalnum() or lits[2][0] == "_"):
+        assert m.group(2) == w
+
+
+@settings(max_examples=100, deadline=None)
+@given(i=_ints, j=_ints)
+def test_grok_two_int_fields_property(i, j):
+    import re
+
+    rx, _ = grok_compile("a=%{INT:a:int} b=%{INT:b:int}")
+    m = re.search(rx, f"a={i} b={j}")
+    assert (int(m.group(1)), int(m.group(2))) == (i, j)
