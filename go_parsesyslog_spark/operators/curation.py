@@ -277,9 +277,14 @@ def contrastive_negatives(
 
     Plan: ONE shuffle on the group key — the positive-presence flag is
     a window max over the same partitioning the ranking window needs,
-    so Catalyst plans both windows back-to-back on a single exchange.
-    Per-group state is the window sort, bounded by group size, never
-    corpus size.
+    so Catalyst plans both windows back-to-back on a single exchange,
+    and Spark's rank-limit pushdown (WindowGroupLimit, plan-pinned in
+    tests) truncates each group to k rows before the ranking window
+    materializes.  Residual hot-group cost: the presence flag forces
+    whole-group residency, so one pathologically hot group pays a
+    single-task spillable sort (O(g log g) CPU, no memory blowup) —
+    the same hot-conversation profile route.py salts; salt upstream if
+    one group owns a double-digit share of the corpus.
 
     Output: (group, neg_id BIGINT, draw_rank INT) — ``draw_rank`` is
     the 1-based position in the md5 order, so downstream can take any

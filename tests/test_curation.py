@@ -230,3 +230,17 @@ def test_contrastive_negatives_one_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     # presence flag + ranking share the group partitioning
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_contrastive_negatives_group_limit_pushdown(spark):
+    from go_parsesyslog_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "pos"), (1, 11, "neg")], "grp long, id long, label string"
+    )
+    plan = contrastive_negatives(df, "grp", "label", "pos", 2, "id")\
+        ._jdf.queryExecution().executedPlan().toString()
+    # rank-limit pushdown truncates each group to k before the window
+    assert "WindowGroupLimit" in plan, plan
