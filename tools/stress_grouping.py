@@ -82,9 +82,11 @@ def main() -> None:
     assert levels[("t1", "ALL", 1)] == n_t1, (levels[("t1", "ALL", 1)], n_t1)
     # leaf: t0 on day 0 = ids divisible by 2 and ≡0 (mod 30) -> lcm 2,30
     assert levels[("t0", "0", 0)] == len(range(0, n, 30))
-    # level count: 8 types x 30 days leaves ... plus 8 subtotals + 1
+    # level counts: parity locks each type to half the days (t0 is
+    # even ids -> even days; t1..t7 odd ids -> odd days): 8 x 15
+    # leaves, 8 subtotals, 1 grand total
     assert sum(1 for k in levels if k[2] == 1) == 8
-    assert sum(1 for k in levels if k[2] == 0) == 8 * 30
+    assert sum(1 for k in levels if k[2] == 0) == 8 * 15
 
     # ---- pivot to wide ---------------------------------------------------
     t0 = time.time()
