@@ -64,6 +64,10 @@ def main() -> None:
         )
     )
 
+    # JVM/codegen warmup outside every timed window (the first action
+    # otherwise pays session startup and poisons the smallest timing)
+    df.count()
+
     # ---- rollup under the hot sink ------------------------------------
     t0 = time.time()
     levels = {
