@@ -55,6 +55,10 @@ def _violation_pred(c: dict) -> Column:
     else:
         raise ValueError(f"unknown constraint kind {kind!r}")
     if c.get("allow_null"):
+        if col is None:
+            raise ValueError(
+                f"allow_null on {c['name']!r} requires a 'col' key"
+            )
         ok = ok | col.isNull()
     elif "col" in c:
         ok = ok & col.isNotNull()
@@ -89,8 +93,15 @@ def check_constraints(
         if c["kind"] == "unique":
             names.append(c["name"])
             cols = c["cols"] if "cols" in c else [c["col"]]
+            # count only rows whose key is fully non-NULL:
+            # count(DISTINCT) skips any-NULL rows, so subtracting it
+            # from a raw count would flag every NULL-keyed row as a
+            # duplicate (SQL UNIQUE semantics: NULL keys never clash)
+            nonnull = F.lit(True)
+            for x in cols:
+                nonnull = nonnull & F.col(x).isNotNull()
             aggs.append(
-                (F.count(F.lit(1))
+                (F.count(F.when(nonnull, 1))
                  - F.count_distinct(*[F.col(x) for x in cols]))
                 .cast("long").alias(c["name"])
             )
@@ -112,14 +123,23 @@ def check_constraints(
             ).alias("c")
         ).select("c.constraint", "c.violations", "c.n_rows")
 
-    for c in specials:
-        if c["kind"] != "ref_integrity":
-            continue
+    # one shared total-row frame for every ref constraint (a per-
+    # constraint df.agg(count) would re-scan the fact table K times);
+    # with several refs the 1-row aggregate is materialized once so
+    # each branch reuses the result instead of re-deriving the plan
+    refs = [c for c in specials if c["kind"] == "ref_integrity"]
+    for c in refs:
         if not reference or c["ref"] not in reference:
             raise ValueError(
                 f"ref_integrity {c['name']!r} needs reference "
                 f"{c['ref']!r}"
             )
+    total = None
+    if refs:
+        total = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        if len(refs) > 1:
+            total = total.localCheckpoint()
+    for c in refs:
         ref = reference[c["ref"]].select(
             F.col(c["ref_col"]).alias(c["col"])
         ).distinct()
@@ -130,7 +150,7 @@ def check_constraints(
         row = orphans.agg(
             F.lit(c["name"]).alias("constraint"),
             F.count(F.lit(1)).cast("long").alias("violations"),
-        ).crossJoin(df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+        ).crossJoin(total)
         out = row if out is None else out.unionByName(row)
 
     if out is None:

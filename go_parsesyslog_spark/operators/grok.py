@@ -88,6 +88,42 @@ def _expand(name: str, patterns: dict[str, str], depth: int) -> str:
     )
 
 
+def _neutralize_parens(literal: str) -> str:
+    """Rewrite bare capturing ``(`` in raw literal text to ``(?:`` so
+    user alternations can't shift the field group indices — but leave
+    escaped parens (``\\(``) and parens inside character classes
+    (``[(]``) untouched: both are literal characters, and blindly
+    rewriting them corrupts the regex (``\\(?:`` = optional paren then
+    a literal colon)."""
+    out = []
+    in_class = False
+    escaped = False
+    n = len(literal)
+    for i, ch in enumerate(literal):
+        if escaped:
+            out.append(ch)
+            escaped = False
+            continue
+        if ch == "\\":
+            out.append(ch)
+            escaped = True
+            continue
+        if in_class:
+            out.append(ch)
+            if ch == "]":
+                in_class = False
+            continue
+        if ch == "[":
+            out.append(ch)
+            in_class = True
+            continue
+        if ch == "(" and not (i + 1 < n and literal[i + 1] == "?"):
+            out.append("(?:")
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
 def grok_compile(
     template: str,
     extra_patterns: dict[str, str] | None = None,
@@ -96,8 +132,12 @@ def grok_compile(
     The regex uses only plain/non-capturing groups (portable across
     java.util.regex / Python re / RE2); field i is capture group i+1.
     Literal text between tokens is raw regex EXCEPT that bare ``(`` is
-    rewritten to ``(?:`` so user alternations can't shift the field
-    group indices."""
+    rewritten to ``(?:`` (escaped / character-class parens preserved)
+    so user alternations can't shift the field group indices; the
+    compiled group count is validated against the field count, so a
+    capturing group smuggled in via ``extra_patterns`` or a ``(?P<``
+    literal fails loudly at compile time instead of silently
+    misaligning extracted data."""
     patterns = dict(BUILTIN_PATTERNS)
     if extra_patterns:
         patterns.update(extra_patterns)
@@ -106,8 +146,7 @@ def grok_compile(
     out: list[str] = []
     pos = 0
     for m in _TOKEN_RE.finditer(template):
-        literal = template[pos:m.start()]
-        out.append(re.sub(r"\((?!\?)", "(?:", literal))
+        out.append(_neutralize_parens(template[pos:m.start()]))
         name, field, typ = m.group(1), m.group(2), m.group(3)
         if typ is not None and typ not in _CAST:
             raise ValueError(f"unknown grok cast type :{typ}")
@@ -118,7 +157,7 @@ def grok_compile(
         else:
             out.append(f"(?:{body})")
         pos = m.end()
-    out.append(re.sub(r"\((?!\?)", "(?:", template[pos:]))
+    out.append(_neutralize_parens(template[pos:]))
     regex = "".join(out)
     if not fields:
         raise ValueError("grok template captures no fields")
@@ -127,7 +166,13 @@ def grok_compile(
         if f in seen:
             raise ValueError(f"duplicate grok field {f!r}")
         seen.add(f)
-    re.compile(regex)  # fail fast on driver, not per-executor
+    compiled = re.compile(regex)  # fail fast on driver, not per-executor
+    if compiled.groups != len(fields):
+        raise ValueError(
+            f"template compiles to {compiled.groups} capture groups for "
+            f"{len(fields)} fields - a library pattern or literal "
+            "introduces its own capturing group; use (?:...) instead"
+        )
     return regex, fields
 
 
@@ -170,21 +215,33 @@ def _grok_parse_arrow(
     df: DataFrame, text_col: str, regex: str,
     fields: list[tuple[str, str | None]],
 ) -> DataFrame:
-    """One compiled re, one extraction pass per Arrow batch."""
+    """One compiled re per UDF (pickled into the closure — NOT
+    recompiled per batch, which would lean on the re module's evictable
+    512-entry cache), one extraction pass per Arrow batch."""
+    import warnings
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     names = [f for f, _ in fields]
     schema = ", ".join(f"`{n}` string" for n in names) + ", `_m` boolean"
+    rx = re.compile(regex)
 
     def _extract(s):
-        rx = re.compile(regex)
         groups = s.str.extract(rx, expand=True)
         groups.columns = names
-        # matched <=> extract produced the groups (a match never leaves
-        # every group NaN: captured-empty comes back "", not NaN) —
-        # one regex pass total, no second contains() scan
-        groups["_m"] = groups.notna().any(axis=1)
+        # matched must come from a search, not from group participation:
+        # a template whose literal text makes a field optional or
+        # alternated ("a%{INT:n}?" / "a%{INT:n}|b") can match with every
+        # group NaN, and jvm mode's rlike reports those rows as matched
+        with warnings.catch_warnings():
+            # pandas warns that the pattern has groups; intentional here
+            warnings.simplefilter("ignore", UserWarning)
+            m = s.str.contains(rx, regex=True).fillna(False).astype(bool)
+        # jvm parity for uncast string fields: regexp_extract yields ""
+        # (not NULL) for a matched row whose group didn't participate
+        groups.loc[m] = groups.loc[m].fillna("")
+        groups["_m"] = m
         return groups
 
     # real type objects, not strings: `from __future__ import

@@ -140,19 +140,15 @@ def pivot_wide(
     0, so the output schema is static — what a downstream feature
     store requires."""
     measure = measure or (lambda cond: F.count(F.when(cond, 1)))
-    out = df.groupBy(key_col).agg(
+    # coalesce/cast applied to the aggregate expression itself — a
+    # second select would have to re-reference data-derived column
+    # names (backtick-quoting fragility for hostile pivot values)
+    return df.groupBy(key_col).agg(
         *[
-            measure(F.col(pivot_col) == v).alias(f"{prefix}{v}")
+            F.coalesce(measure(F.col(pivot_col) == v), F.lit(0))
+            .cast("long").alias(f"{prefix}{v}")
             for v in values
         ]
-    )
-    return out.select(
-        key_col,
-        *[
-            F.coalesce(F.col(f"`{prefix}{v}`"), F.lit(0)).cast("long")
-            .alias(f"{prefix}{v}")
-            for v in values
-        ],
     )
 
 

@@ -33,8 +33,9 @@ def test_not_null_and_unique(spark):
         {"name": "id_uq", "kind": "unique", "col": "id"},
     ])
     assert out["id_nn"] == (1, 4, False)
-    # count(4) - count_distinct ignoring NULL (2 distinct non-null) = 2
-    assert out["id_uq"] == (2, 4, False)
+    # SQL UNIQUE semantics: the NULL-keyed row is NOT a duplicate; the
+    # two id=2 rows contribute exactly one violation
+    assert out["id_uq"] == (1, 4, False)
 
 
 def test_domain_kinds_null_is_violation(spark):
@@ -132,3 +133,34 @@ def test_profile_table_single_scan(spark):
     assert plan.count("Scan ExistingRDD") == 1, plan
     # multi-distinct is planned with one Expand, not one job per column
     assert "Expand" in plan, plan
+
+
+def test_unique_ignores_null_keys(spark):
+    from go_parsesyslog_spark.operators.checks import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (2, None)],
+        "k long, s string",
+    )
+    out = {r["constraint"]: (r["violations"], r["passed"])
+           for r in check_constraints(df, [
+               {"name": "k_uq", "kind": "unique", "col": "k"},
+               {"name": "ks_uq", "kind": "unique", "cols": ["k", "s"]},
+           ]).collect()}
+    # k: [1, 2, 2] non-null -> one dup; the two NULLs never clash
+    assert out["k_uq"] == (1, False)
+    # (k,s): any-NULL component excluded -> [(1,a),(2,b)] all unique
+    assert out["ks_uq"] == (0, True)
+
+
+def test_allow_null_on_colless_predicate_raises(spark):
+    import pytest as _pytest
+
+    from go_parsesyslog_spark.operators.checks import check_constraints
+
+    with _pytest.raises(ValueError, match="requires a 'col'"):
+        check_constraints(
+            _df(spark),
+            [{"name": "p", "kind": "predicate", "expr": "id > 0",
+              "allow_null": True}],
+        )

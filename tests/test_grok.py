@@ -203,3 +203,37 @@ def test_grok_two_int_fields_property(i, j):
     rx, _ = grok_compile("a=%{INT:a:int} b=%{INT:b:int}")
     m = re.search(rx, f"a={i} b={j}")
     assert (int(m.group(1)), int(m.group(2))) == (i, j)
+
+
+def test_escaped_and_class_parens_survive():
+    """Escaped \\( and character-class [(] are literal parens — the
+    capture-neutralizer must leave them intact."""
+    import re
+
+    rx, _ = grok_compile(r"\(%{INT:n:int}\)")
+    assert re.search(rx, "(42)").group(1) == "42"
+    rx2, _ = grok_compile(r"[(]%{INT:n:int}[)]")
+    assert re.search(rx2, "(7)").group(1) == "7"
+    assert re.search(rx2, "?7") is None
+
+
+def test_smuggled_capture_groups_fail_loudly():
+    with pytest.raises(ValueError, match="capture groups"):
+        grok_compile("%{HP:hp}", extra_patterns={"HP": r"(\d+)-ok"})
+    with pytest.raises(ValueError, match="capture groups"):
+        grok_compile(r"(?P<x>a|b)%{INT:n}")
+
+
+@pytest.mark.parametrize("template,line", [
+    (r"a%{INT:n:int}?", "ab"),        # optional field group
+    (r"%{INT:n:int}|b", "b"),         # field on one alternation arm
+])
+def test_nonparticipating_group_modes_agree(spark, template, line):
+    """A row can match while a field group doesn't participate; both
+    modes must report matched=true with a NULL typed field."""
+    df = spark.createDataFrame([(1, line)], "id long, text string")
+    rows = {}
+    for mode in ("jvm", "arrow"):
+        r = grok_parse(df, "text", template, mode=mode).collect()[0]
+        rows[mode] = (r["n"], r["_grok_matched"])
+    assert rows["jvm"] == rows["arrow"] == (None, True)

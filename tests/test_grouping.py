@@ -175,3 +175,11 @@ def test_funnel_agg_reuses_window_partitioning(spark):
     )
     plan = _plan(funnel_latency(df, "uid", "ts", "et", "click", "purchase"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pivot_survives_hostile_value_names(spark):
+    df = spark.createDataFrame([(1, "a`b"), (1, "c.d")],
+                               "id long, t string")
+    out = pivot_wide(df, "id", "t", ["a`b", "c.d", "e f"], prefix="n_")
+    r = out.collect()[0]
+    assert (r["n_a`b"], r["n_c.d"], r["n_e f"]) == (1, 1, 0)
