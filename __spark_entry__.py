@@ -1954,6 +1954,30 @@ def q_profile_events(spark, sf_dir):
     )
 
 
+def q_resample_daily(spark, sf_dir):
+    """Fixed-grid resample + forward-fill
+    (operators/aggregate.resample_ffill): each user's value series
+    aligned to a daily grid, last observation per day wins (total
+    order via event_id tiebreak), gaps carry the previous value with
+    is_observed=false.  Big table collapses to (key, bucket) in ONE
+    shuffle; grid/join/ffill all run on the collapsed frame.  Values
+    integerized (floor(value*100)) before the operator so the oracle
+    hash is float-free."""
+    from go_parsesyslog_spark.operators.aggregate import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = resample_ffill(ev, "user_id", "ts", "cents", 86400,
+                         order_cols=["event_id"])
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "cents", "is_observed",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -2040,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_negatives": q_contrastive_negatives,
         "profile_events": q_profile_events,
         "streaming_grok_extract": q_streaming_grok_extract,
+        "resample_daily": q_resample_daily,
     }
 
 
@@ -2968,6 +2993,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id::BIGINT AS user_id, "
             "event_id::BIGINT AS neg_id, draw_rank::INT AS draw_rank "
             "FROM ranked WHERE draw_rank <= 5"
+        ),
+        "resample_daily": (
+            # row_number DESC over (ts, event_id) replays max_by's
+            # total order; make_timestamp keeps the bucket naive (no tz)
+            "WITH ranked AS (SELECT user_id, "
+            "(floor(epoch(ts))::BIGINT // 86400) * 86400 AS b, "
+            "floor(value * 100)::BIGINT AS v, row_number() OVER ("
+            "PARTITION BY user_id, floor(epoch(ts))::BIGINT // 86400 "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events), "
+            "obs AS (SELECT user_id, b, v FROM ranked WHERE rn = 1), "
+            "span AS (SELECT user_id, min(b) AS lo, max(b) AS hi "
+            "FROM obs GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(range(lo, hi + 1, 86400)) "
+            "AS b FROM span), "
+            "j AS (SELECT g.user_id, g.b, o.v FROM grid g "
+            "LEFT JOIN obs o USING (user_id, b)) "
+            "SELECT user_id::BIGINT AS user_id, "
+            "strftime(make_timestamp(b * 1000000), "
+            "'%Y-%m-%d %H:%M:%S') AS bucket_start, "
+            "(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY b ROWS UNBOUNDED PRECEDING))::BIGINT AS cents, "
+            "v IS NOT NULL AS is_observed FROM j"
         ),
         "profile_events": " UNION ALL ".join(
             f"SELECT '{c}' AS column, "

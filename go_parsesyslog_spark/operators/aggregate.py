@@ -174,3 +174,70 @@ def merge_sink_metrics(partials: DataFrame) -> DataFrame:
             F.sum("total_msg_bytes").alias("total_msg_bytes"),
         )
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_sec: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Resample an irregular per-key time series onto a fixed
+    ``step_sec`` grid with forward-fill — the telemetry-alignment step
+    every monitoring/feature pipeline needs (join sensors sampled at
+    different rates, fill reporting gaps).
+
+    Semantics: bucket = floor(epoch/step)*step; within a bucket the
+    LAST observation wins, ordered by (ts, *order_cols) — pass a unique
+    tiebreaker for a total order, or the within-bucket winner is
+    nondeterministic.  The grid spans each key's own [first, last]
+    bucket (no extrapolation beyond the data); empty buckets carry the
+    previous value forward, and ``is_observed`` distinguishes carried
+    rows.
+
+    Scale shape: the raw input collapses FIRST to one row per
+    (key, bucket) via max_by — map-side combinable, ONE shuffle of the
+    big table.  Everything after runs on the collapsed frame: the
+    per-key span agg, the narrow sequence-explode grid (rows ∝ output
+    grid, generated distributed, never on the driver), the grid⋈obs
+    equi-join, and the forward-fill window partitioned by key.  A key's
+    grid length is bounded by its time span / step, never corpus size.
+
+    Output: (key, bucket_start TIMESTAMP, value, is_observed BOOLEAN).
+    """
+    order_cols = order_cols or []
+    bucket = (
+        (F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long")
+        * step_sec
+    )
+    rank = F.struct(F.col(ts_col), *[F.col(c) for c in order_cols])
+    obs = (
+        df.withColumn("_b", bucket)
+        .groupBy(key_col, "_b")
+        .agg(F.max_by(F.col(value_col), rank).alias("_v"))
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_sec))
+        ).alias("_b"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "_b"], "left")
+        .select(
+            F.col(key_col),
+            F.timestamp_seconds(F.col("_b")).alias("bucket_start"),
+            F.last("_v", ignorenulls=True).over(w).alias(value_col),
+            F.col("_v").isNotNull().alias("is_observed"),
+        )
+    )

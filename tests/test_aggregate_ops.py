@@ -73,3 +73,61 @@ def test_group_quantiles_dyadic_exact(spark):
     assert (out["a"]["p25"], out["a"]["p50"], out["a"]["p75"]) == (2.0, 3.0, 4.0)
     assert out["b"]["p50"] == 25.0
     assert out["b"]["p25"] == 17.5
+
+
+def test_resample_ffill_semantics(spark):
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from go_parsesyslog_spark.operators.aggregate import resample_ffill
+
+    t0 = datetime.datetime(2025, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [
+            # key 1: two obs in bucket 0 (later one wins), gap at
+            # bucket 1-2, obs at bucket 3
+            (1, at(5), 10, 1), (1, at(50), 20, 2), (1, at(185), 99, 3),
+            # key 2: single observation -> single-bucket grid
+            (2, at(70), 7, 4),
+        ],
+        "k long, ts timestamp, v long, eid long",
+    )
+    out = sorted(
+        (r["k"], r["bucket_start"].second + r["bucket_start"].minute * 60,
+         r["v"], r["is_observed"])
+        for r in resample_ffill(df, "k", "ts", "v", 60,
+                                order_cols=["eid"]).collect()
+    )
+    assert out == [
+        (1, 0, 20, True),     # last obs in bucket wins
+        (1, 60, 20, False),   # gap carries forward
+        (1, 120, 20, False),
+        (1, 180, 99, True),
+        (2, 60, 7, True),     # span is per-key, no extrapolation
+    ]
+
+
+def test_resample_ffill_collapses_before_grid(spark):
+    """The big-table shuffle must be the (key, bucket) collapse; the
+    grid/join/window run on collapsed frames only (no exchange of the
+    raw rows after the first aggregate)."""
+    import pyspark.sql.functions as F
+
+    from go_parsesyslog_spark.operators.aggregate import resample_ffill
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("k"),
+        F.timestamp_seconds(F.col("id") * 10).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    plan = resample_ffill(df, "k", "ts", "v", 60)\
+        ._jdf.queryExecution().executedPlan().toString()
+    # first agg partial must appear below the first exchange
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
+    assert "max_by" in plan or "maxby" in plan.lower(), plan
