@@ -1978,6 +1978,32 @@ def q_resample_daily(spark, sf_dir):
     )
 
 
+def q_merge_activity_spans(spark, sf_dir):
+    """Interval union per user
+    (operators/conversation.merge_intervals): each event opens an
+    activity window [ts, ts + (event_id%120+1) minutes); overlapping/
+    touching windows flatten into spans.  One key shuffle: the sweep is
+    window algebra and the final (key, span) agg reuses the window's
+    partitioning.  Whole-second outputs -> float-free hash."""
+    from go_parsesyslog_spark.operators.conversation import (
+        merge_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts")
+         + (F.col("event_id") % 120 + 1) * 60).alias("e"),
+    )
+    out = merge_intervals(ev, "user_id", "s", "e")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_merged",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -2065,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "streaming_grok_extract": q_streaming_grok_extract,
         "resample_daily": q_resample_daily,
+        "merge_activity_spans": q_merge_activity_spans,
     }
 
 
@@ -3015,6 +3042,24 @@ def oracle_sql() -> dict[str, str]:
             "(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id "
             "ORDER BY b ROWS UNBOUNDED PRECEDING))::BIGINT AS cents, "
             "v IS NOT NULL AS is_observed FROM j"
+        ),
+        "merge_activity_spans": (
+            # identical sweep in SQL: running max of previous ends,
+            # new-span flag, cumulative span id, one group per span
+            "WITH iv AS (SELECT user_id, floor(epoch(ts))::BIGINT AS s, "
+            "floor(epoch(ts))::BIGINT + (event_id % 120 + 1) * 60 AS e "
+            "FROM events), "
+            "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY "
+            "user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING) AS pme FROM iv), "
+            "f AS (SELECT user_id, s, e, CASE WHEN pme IS NULL OR "
+            "s > pme THEN 1 ELSE 0 END AS brk FROM m), "
+            "g AS (SELECT user_id, s, e, sum(brk) OVER (PARTITION BY "
+            "user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM f) "
+            "SELECT user_id::BIGINT AS user_id, "
+            "min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end, "
+            "count(*)::BIGINT AS n_merged FROM g GROUP BY user_id, sid"
         ),
         "profile_events": " UNION ALL ".join(
             f"SELECT '{c}' AS column, "

@@ -112,3 +112,44 @@ def turn_gap_stats(
             F.max("_gap").cast("long").alias("max_gap_sec"),
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Flatten overlapping/touching [start, end) intervals per key —
+    the coverage question every activity/availability analysis asks
+    (total covered time, distinct activity spans).  Touching intervals
+    (next.start == prev.end) merge; a gap of any positive width splits.
+
+    Classic sweep as pure window algebra, ONE shuffle on the key: sort
+    by (start, end) within key, running max of all PREVIOUS ends, a
+    new-span flag where start exceeds it, cumulative-sum the flags into
+    a span id, then one (key, span) aggregate — which reuses the
+    window's key partitioning (no second exchange of the fact rows).
+    Per-key state is the sort; span count never exceeds row count.
+
+    Output: (key, span_start, span_end, n_merged BIGINT)."""
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    span_id = F.sum(new_span).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_span", span_id)
+        .groupBy(key_col, "_span")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .drop("_span")
+    )

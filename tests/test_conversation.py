@@ -95,3 +95,38 @@ def test_chunking_is_narrow(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a" * 500)])
     plan = chunk_documents(docs, 256, 192)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_merge_intervals_semantics(spark):
+    from go_parsesyslog_spark.operators.conversation import (
+        merge_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # k1: [0,10) overlaps [5,20); [20,30) TOUCHES -> merges;
+            # [31,40) gaps -> new span; nested [32,35) absorbed
+            (1, 0, 10), (1, 5, 20), (1, 20, 30), (1, 31, 40),
+            (1, 32, 35),
+            # k2: single interval
+            (2, 100, 101),
+        ],
+        "k long, s long, e long",
+    )
+    out = sorted(
+        (r["k"], r["span_start"], r["span_end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert out == [(1, 0, 30, 3), (1, 31, 40, 2), (2, 100, 101, 1)]
+
+
+def test_merge_intervals_one_exchange(spark):
+    from go_parsesyslog_spark.operators.conversation import (
+        merge_intervals,
+    )
+
+    df = spark.createDataFrame([(1, 0, 10)], "k long, s long, e long")
+    plan = merge_intervals(df, "k", "s", "e")\
+        ._jdf.queryExecution().executedPlan().toString()
+    # the sweep windows and the span agg share one key shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
