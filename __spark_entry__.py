@@ -2004,6 +2004,35 @@ def q_merge_activity_spans(spark, sf_dir):
     )
 
 
+def q_full_outer_reconcile(spark, sf_dir):
+    """Two-sided reconciliation via FULL OUTER join — the one join
+    type the gate didn't yet cover: per-user daily click counts vs
+    purchase counts, keeping days present on either side only
+    (coalesced keys, zero-filled counts).  Both sides collapse to
+    (user, day) BEFORE the join, and all three operators (two aggs +
+    the join) hash on the same key pair — Catalyst reuses the
+    partitioning, so the fact table shuffles once per side and the
+    join adds none."""
+    ev = _t(spark, sf_dir, "events")
+
+    def daily(etype, alias):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    c = daily("click", "n_clicks")
+    p = daily("purchase", "n_buys")
+    j = c.join(p, ["user_id", "day"], "full_outer")
+    return j.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -2092,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_grok_extract": q_streaming_grok_extract,
         "resample_daily": q_resample_daily,
         "merge_activity_spans": q_merge_activity_spans,
+        "full_outer_reconcile": q_full_outer_reconcile,
     }
 
 
@@ -3060,6 +3090,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id::BIGINT AS user_id, "
             "min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end, "
             "count(*)::BIGINT AS n_merged FROM g GROUP BY user_id, sid"
+        ),
+        "full_outer_reconcile": (
+            "WITH c AS (SELECT user_id, ts::DATE AS day, "
+            "count(*)::BIGINT AS n_clicks FROM events "
+            "WHERE event_type = 'click' GROUP BY 1, 2), "
+            "p AS (SELECT user_id, ts::DATE AS day, "
+            "count(*)::BIGINT AS n_buys FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT coalesce(c.user_id, p.user_id)::BIGINT AS user_id, "
+            "strftime(coalesce(c.day, p.day), '%Y-%m-%d') AS day, "
+            "coalesce(n_clicks, 0)::BIGINT AS n_clicks, "
+            "coalesce(n_buys, 0)::BIGINT AS n_buys "
+            "FROM c FULL OUTER JOIN p "
+            "ON c.user_id = p.user_id AND c.day = p.day"
         ),
         "profile_events": " UNION ALL ".join(
             f"SELECT '{c}' AS column, "
