@@ -2033,6 +2033,43 @@ def q_full_outer_reconcile(spark, sf_dir):
     )
 
 
+def q_read_csv_corpus(spark, sf_dir):
+    """CSV file ingest with per-row DLQ
+    (sources/csvfile.read_csv_corpus): events serialized to CSV files
+    once per sf_dir (10% of rows carry a non-numeric metric field),
+    loaded back with an explicit schema in PERMISSIVE mode.  Spark's
+    documented DLQ semantics are the contract under test: a malformed
+    FIELD nulls out while well-formed fields of the same row (the
+    identity columns) still parse, and the raw line lands in _corrupt
+    — one bad cell never drops a row or fails the load.  Oracle:
+    regex-free reconstruction from the source columns, corrupt lines
+    pinned by md5."""
+    from go_parsesyslog_spark.sources.csvfile import read_csv_corpus
+
+    def build(path):
+        ev = _t(spark, sf_dir, "events")
+        lat = F.when(
+            F.col("event_id") % 10 == 7, F.lit("x")
+        ).otherwise((F.col("event_id") % 900).cast("string"))
+        line = F.concat_ws(
+            ",", F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"), F.col("event_type"), lat,
+        )
+        ev.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    path = _materialize_once(spark, sf_dir, "gps_csv", build)
+    out = read_csv_corpus(
+        spark, path,
+        "event_id bigint, user_id bigint, event_type string, "
+        "latency_ms bigint",
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "latency_ms",
+        F.col("_corrupt").isNotNull().alias("is_dlq"),
+        F.md5(F.col("_corrupt")).alias("corrupt_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -2122,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_daily": q_resample_daily,
         "merge_activity_spans": q_merge_activity_spans,
         "full_outer_reconcile": q_full_outer_reconcile,
+        "read_csv_corpus": q_read_csv_corpus,
     }
 
 
@@ -3090,6 +3128,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id::BIGINT AS user_id, "
             "min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end, "
             "count(*)::BIGINT AS n_merged FROM g GROUP BY user_id, sid"
+        ),
+        "read_csv_corpus": (
+            # expected values straight from the source columns; the
+            # corrupt rows keep their parsed identity fields, NULL the
+            # malformed metric, and carry md5 of the raw line
+            "SELECT event_id::BIGINT AS event_id, "
+            "user_id::BIGINT AS user_id, event_type, "
+            "CASE WHEN ok THEN (event_id % 900)::BIGINT END AS "
+            "latency_ms, NOT ok AS is_dlq, "
+            "CASE WHEN NOT ok THEN md5(event_id::VARCHAR || ',' || "
+            "user_id::VARCHAR || ',' || event_type || ',x') END AS "
+            "corrupt_md5 "
+            "FROM (SELECT *, event_id % 10 <> 7 AS ok FROM events)"
         ),
         "full_outer_reconcile": (
             "WITH c AS (SELECT user_id, ts::DATE AS day, "

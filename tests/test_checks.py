@@ -164,3 +164,21 @@ def test_allow_null_on_colless_predicate_raises(spark):
             [{"name": "p", "kind": "predicate", "expr": "id > 0",
               "allow_null": True}],
         )
+
+
+def test_multiple_ref_constraints_share_total(spark):
+    from go_parsesyslog_spark.operators.checks import check_constraints
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 99)],
+                               "a long, b long")
+    dim_a = spark.createDataFrame([(1,), (2,)], "k long")
+    dim_b = spark.createDataFrame([(10,), (20,)], "k long")
+    out = {r["constraint"]: (r["violations"], r["n_rows"])
+           for r in check_constraints(df, [
+               {"name": "fk_a", "kind": "ref_integrity", "col": "a",
+                "ref": "da", "ref_col": "k"},
+               {"name": "fk_b", "kind": "ref_integrity", "col": "b",
+                "ref": "db", "ref_col": "k"},
+           ], reference={"da": dim_a, "db": dim_b}).collect()}
+    assert out["fk_a"] == (1, 3)   # a=3 orphaned
+    assert out["fk_b"] == (1, 3)   # b=99 orphaned
