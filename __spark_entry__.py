@@ -2070,6 +2070,37 @@ def q_read_csv_corpus(spark, sf_dir):
     )
 
 
+def q_winsorized_value_stats(spark, sf_dir):
+    """Outlier-robust per-type stats
+    (operators/aggregate.winsorized_stats): values clamped to the
+    exact IQR [p25, p75] before summing.  Exactness discipline: the
+    input is integer cents, so the dyadic quantiles are exact
+    quarter-cent binary fractions and the clamped double sum is
+    order-independent (no rounding anywhere) — hash-replayable without
+    integerizing the output."""
+    from go_parsesyslog_spark.operators.aggregate import winsorized_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return winsorized_stats(ev, "event_type", "cents", 0.25, 0.75)
+
+
+def q_value_decile_profile(spark, sf_dir):
+    """Rank-normalized histogram
+    (operators/aggregate.rank_decile_profile): percent_rank deciles of
+    value per event_type.  (rank-1)/(n-1) is exact IEEE on both
+    engines; ties share a bucket, so the profile is deterministic
+    under any partitioning."""
+    from go_parsesyslog_spark.operators.aggregate import (
+        rank_decile_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rank_decile_profile(ev, "event_type", "value", 10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -2160,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_activity_spans": q_merge_activity_spans,
         "full_outer_reconcile": q_full_outer_reconcile,
         "read_csv_corpus": q_read_csv_corpus,
+        "winsorized_value_stats": q_winsorized_value_stats,
+        "value_decile_profile": q_value_decile_profile,
     }
 
 
@@ -3141,6 +3174,26 @@ def oracle_sql() -> dict[str, str]:
             "user_id::VARCHAR || ',' || event_type || ',x') END AS "
             "corrupt_md5 "
             "FROM (SELECT *, event_id % 10 <> 7 AS ok FROM events)"
+        ),
+        "winsorized_value_stats": (
+            # quantile_cont == Spark percentile at dyadic p on integer
+            # input; the clamped sum is exact binary quarters
+            "WITH q AS (SELECT event_type, "
+            "quantile_cont(floor(value * 100)::BIGINT, 0.25) AS lo, "
+            "quantile_cont(floor(value * 100)::BIGINT, 0.75) AS hi "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_type, count(*)::BIGINT AS n, "
+            "any_value(q.lo) AS lo, any_value(q.hi) AS hi, "
+            "sum(greatest(least(floor(e.value * 100)::BIGINT, q.hi), "
+            "q.lo)) AS winsorized_sum "
+            "FROM events e JOIN q USING (event_type) "
+            "GROUP BY e.event_type"
+        ),
+        "value_decile_profile": (
+            "WITH r AS (SELECT event_type, percent_rank() OVER ("
+            "PARTITION BY event_type ORDER BY value) AS pr FROM events) "
+            "SELECT event_type, least(floor(pr * 10), 9)::INT AS bucket, "
+            "count(*)::BIGINT AS n FROM r GROUP BY 1, 2"
         ),
         "full_outer_reconcile": (
             "WITH c AS (SELECT user_id, ts::DATE AS day, "

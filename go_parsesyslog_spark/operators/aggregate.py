@@ -241,3 +241,72 @@ def resample_ffill(
             F.col("_v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.25,
+    p_hi: float = 0.75,
+) -> DataFrame:
+    """Outlier-robust per-group stats: clamp ``value_col`` to the
+    group's [p_lo, p_hi] exact quantiles (winsorize), then aggregate —
+    the robust-mean building block quality pipelines use where a
+    handful of garbage rows would otherwise dominate a plain mean.
+
+    Quantile probabilities should be dyadic (0.25/0.5/0.75) for
+    bit-identical oracle replay — the group_quantiles contract.  Two
+    passes over the fact table by necessity (quantiles must be known
+    before clamping); the per-group quantile frame is tiny and
+    broadcast back, so the second pass adds no shuffle of the fact —
+    at 100 TB that is 2 scans + 1 small-side broadcast + the final
+    map-side-combinable agg.
+
+    Output: (group, n BIGINT, lo DOUBLE, hi DOUBLE,
+    winsorized_sum DOUBLE)."""
+    q = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {p_lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {p_hi})").alias("_hi"),
+    )
+    clamped = df.join(F.broadcast(q), group_col).withColumn(
+        "_w",
+        F.greatest(F.least(F.col(value_col), F.col("_hi")), F.col("_lo")),
+    )
+    return clamped.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("_lo").alias("lo"),
+        F.first("_hi").alias("hi"),
+        F.sum("_w").alias("winsorized_sum"),
+    )
+
+
+def rank_decile_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Distribution profile via percent_rank: bucket each row by its
+    within-group rank percentile (ties share a rank, so the bucketing
+    is deterministic under any partitioning) and count per bucket —
+    the rank-normalized histogram feature pipelines use where raw
+    value histograms are scale-sensitive.
+
+    percent_rank = (rank-1)/(n-1) is an exact IEEE expression of two
+    integers, bit-identical across engines, so floor(pr*buckets) is
+    oracle-replayable with no float discipline needed.  One shuffle:
+    the rank window and the (group, bucket) count share the group
+    partitioning.
+
+    Output: (group, bucket INT, n BIGINT)."""
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    pr = F.percent_rank().over(w)
+    bucket = F.least(
+        F.floor(pr * buckets), F.lit(buckets - 1)
+    ).cast("int")
+    return (
+        df.withColumn("_bk", bucket)
+        .groupBy(group_col, F.col("_bk").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

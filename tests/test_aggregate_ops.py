@@ -131,3 +131,45 @@ def test_resample_ffill_collapses_before_grid(spark):
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[first_exchange:], plan
     assert "max_by" in plan or "maxby" in plan.lower(), plan
+
+
+def test_winsorized_stats_clamps_outliers(spark):
+    from go_parsesyslog_spark.operators.aggregate import winsorized_stats
+
+    # group g: values 0,10,20,30,1000 -> p25=10, p75=30;
+    # clamped: 10,10,20,30,30 -> sum 100 (the 1000 outlier neutralized)
+    df = spark.createDataFrame(
+        [("g", v) for v in (0, 10, 20, 30, 1000)], "k string, v long"
+    )
+    r = winsorized_stats(df, "k", "v", 0.25, 0.75).collect()[0]
+    assert (r["n"], r["lo"], r["hi"], r["winsorized_sum"]) == \
+        (5, 10.0, 30.0, 100.0)
+
+
+def test_winsorized_broadcast_no_fact_shuffle_for_join(spark):
+    from go_parsesyslog_spark.operators.aggregate import winsorized_stats
+
+    df = spark.createDataFrame([("g", 1)], "k string, v long")
+    plan = winsorized_stats(df, "k", "v")\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rank_decile_profile(spark):
+    from go_parsesyslog_spark.operators.aggregate import (
+        rank_decile_profile,
+    )
+
+    # 11 values 0..10: pr = i/10, floor(pr*10) = i, capped at 9 for
+    # the max row -> buckets 0..8 have 1 row, bucket 9 has 2
+    df = spark.createDataFrame([("g", i) for i in range(11)],
+                               "k string, v long")
+    out = {r["bucket"]: r["n"]
+           for r in rank_decile_profile(df, "k", "v", 10).collect()}
+    assert out == {**{i: 1 for i in range(9)}, 9: 2}
+    # ties share a bucket deterministically
+    df2 = spark.createDataFrame([("g", 5)] * 4 + [("g", 9)],
+                                "k string, v long")
+    out2 = {r["bucket"]: r["n"]
+            for r in rank_decile_profile(df2, "k", "v", 10).collect()}
+    assert out2 == {0: 4, 9: 1}
