@@ -2101,6 +2101,35 @@ def q_value_decile_profile(spark, sf_dir):
     return rank_decile_profile(ev, "event_type", "value", 10)
 
 
+def q_clustered_range_scan(spark, sf_dir):
+    """Range-clustered sink round-trip
+    (sources/tableformat.write_clustered): events written once per
+    sf_dir range-clustered on value (non-overlapping file spans,
+    footer-stats pinned in tests/test_pipeline.py), read back with a
+    range predicate and aggregated.  At 100 TB the same scan touches
+    ~selectivity x files instead of all of them; correctness here is
+    that the layout change loses/duplicates nothing — the oracle
+    computes from the original table."""
+    from go_parsesyslog_spark.sources.tableformat import write_clustered
+
+    def build(path):
+        write_clustered(
+            _t(spark, sf_dir, "events"), path, ["value"], n_files=8
+        )
+
+    path = _materialize_once(spark, sf_dir, "gps_clustered", build)
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("value") >= 100.0) & (F.col("value") < 200.0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .alias("sum_cents"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rfc3164_parse": q_rfc3164_parse,
@@ -2193,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_csv_corpus": q_read_csv_corpus,
         "winsorized_value_stats": q_winsorized_value_stats,
         "value_decile_profile": q_value_decile_profile,
+        "clustered_range_scan": q_clustered_range_scan,
     }
 
 
@@ -3174,6 +3204,14 @@ def oracle_sql() -> dict[str, str]:
             "user_id::VARCHAR || ',' || event_type || ',x') END AS "
             "corrupt_md5 "
             "FROM (SELECT *, event_id % 10 <> 7 AS ok FROM events)"
+        ),
+        "clustered_range_scan": (
+            # the clustered sink must be a lossless relayout: the same
+            # range aggregate over the ORIGINAL table
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents "
+            "FROM events WHERE value >= 100.0 AND value < 200.0 "
+            "GROUP BY event_type"
         ),
         "winsorized_value_stats": (
             # quantile_cont == Spark percentile at dyadic p on integer
