@@ -351,13 +351,18 @@ def image_features(payload: bytes) -> list[float]:
     plus a 2×2 nearest-neighbor thumbnail of the luma plane (the
     resize kernel, exercised for real).  Dispatches on magic bytes:
     PNG (pure numpy+zlib), JPEG (pure numpy baseline codec in
-    operators/jpeg.py) or BMP."""
+    operators/jpeg.py), GIF (pure numpy LZW in operators/gif.py —
+    first frame) or BMP."""
     if payload[:8] == _PNG_SIG:
         img = decode_png(payload)
     elif payload[:2] == b"\xff\xd8":
         from go_parsesyslog_spark.operators.jpeg import decode_jpeg
 
         img = decode_jpeg(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from go_parsesyslog_spark.operators.gif import decode_gif
+
+        img, _ = decode_gif(payload)
     else:
         img = decode_bmp(payload)
     h, w = img.shape[:2]
@@ -397,7 +402,7 @@ def decode_features(payload: bytes, kind: str, mime: str,
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(payload)
     if mime in ("image/bmp", "image/x-ms-bmp", "image/png",
-                "image/jpeg", "image/jpg"):
+                "image/jpeg", "image/jpg", "image/gif"):
         return image_features(payload)
     if mime in ("video/avi", "video/x-msvideo") or (
         kind == "video" and payload[:4] == b"RIFF"
@@ -417,8 +422,8 @@ def decode_features(payload: bytes, kind: str, mime: str,
 
 def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table: REAL synthesized WAV tones, BMP
-    gradients and baseline JPEGs plus opaque video bytes (plumbing +
-    real-decoder tests)."""
+    gradients, baseline JPEGs and (animated) GIFs plus opaque video
+    bytes (plumbing + real-decoder tests)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -436,6 +441,12 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
             payload = encode_jpeg(img)
             mime, dur = "image/jpeg", None
+        elif kind == "image" and i % 12 == 3:
+            from go_parsesyslog_spark.operators.gif import synth_gif
+
+            w, h = 16 + i % 16, 12 + i % 8
+            payload = synth_gif(w, h, seed=i, n_frames=1 + i % 3)
+            mime, dur = "image/gif", None
         elif kind == "image":
             w, h = 16 + i % 16, 12 + i % 8
             payload = synth_bmp(w, h, seed=i)
