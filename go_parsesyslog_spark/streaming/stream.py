@@ -18,6 +18,16 @@ Pieces:
 
 All are testable deterministically with ``trigger(availableNow=True)``
 over a static directory.
+
+Probed and environment-bound (the Iceberg-jar pattern): Spark 4.x's
+newer ``transformWithStateInPandas`` API is present in this PySpark
+build, but its driver worker imports ``google.protobuf`` for the state
+server protocol and protobuf is not installed in this container (no
+network / no pip) — a prototype run fails at
+``StateMessage_pb2 → google.protobuf ImportError``.  Custom keyed
+state therefore ships on ``applyInPandasWithState`` (stream_conv_state
+below), which covers the same semantics on the stable API; migrating
+is a mechanical swap once the dependency exists.
 """
 
 from __future__ import annotations
