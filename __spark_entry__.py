@@ -37,8 +37,66 @@ SEVERITY_LIST = (
 )
 
 
+# id-like high-cardinality column per table — used as the deterministic
+# hash-repartition key below (round-robin would pay Spark's
+# sort-before-repartition on the single input task; a hash key does not,
+# and joins/aggs on the same key can reuse the partitioning)
+_T_REPART_KEY = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+}
+
+_T_SPLITS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _t_layout(path: str) -> tuple[int, int]:
+    """(row_groups, bytes) of a single-file parquet table, cached per
+    (path, mtime) — a driver-side metadata read, no Spark job."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = f"{path}:{os.stat(path).st_mtime_ns}"
+    if key not in _T_SPLITS_CACHE:
+        md = pq.read_metadata(path)
+        _T_SPLITS_CACHE[key] = (md.num_row_groups, os.path.getsize(path))
+    return _T_SPLITS_CACHE[key]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a testdata table, fixing INPUT-SKEW parallelism: the bench
+    tables are single parquet files with ONE row group, so however large
+    the scale factor, every scan is exactly one task and all downstream
+    narrow work (wire-text construction, parse regexes, shingle/
+    embedding UDFs) runs single-threaded (guide §2.5 'one huge
+    unsplittable file → repartition immediately after the read').  The
+    repartition is a deterministic hash on the table's id column sized
+    to the session parallelism; tiny dims (<1 MB — they broadcast
+    anyway) and already-splittable multi-row-group files are left
+    alone.  Value-neutral: every declared query is partitioning-
+    independent (md5/xxhash-keyed determinism throughout)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    key = _T_REPART_KEY.get(name)
+    if key is None or os.path.isdir(path):
+        return df
+    par = spark.sparkContext.defaultParallelism
+    row_groups, size = _t_layout(path)
+    # one row group == unsplittable: no maxPartitionBytes setting can
+    # parallelize the scan.  Multi-row-group files (lineitem, orders)
+    # already split; re-shuffling those 100+ MB facts here would cost
+    # more than the downstream gains (joins/aggs re-key them anyway).
+    if row_groups == 1 and par > 1 and size >= 4_000_000:
+        df = df.repartition(par, F.col(key))
+    return df
 
 
 def _source_fingerprint(path: str) -> str:
@@ -783,7 +841,7 @@ def q_read_syslog_lines(spark, sf_dir):
         ev = _with_rfc3164_text(_t(spark, sf_dir, "events"))
         ev.select("text").write.mode("overwrite").text(path)
 
-    path = _materialize_once(spark, sf_dir, "gps_rawlog", build)
+    path = _materialize_once(spark, sf_dir, "gps_rawlog_p", build)
     p = read_syslog(spark, path, fmt="rfc3164", framing="lines",
                     ref_now=REF_NOW)
     return p.select(
@@ -821,7 +879,7 @@ def q_read_syslog_octet(spark, sf_dir):
         )
         ev.select("text").write.mode("overwrite").text(path)
 
-    path = _materialize_once(spark, sf_dir, "gps_rawlog5424", build)
+    path = _materialize_once(spark, sf_dir, "gps_rawlog5424_p", build)
     p = read_syslog(spark, path, fmt="rfc5424", framing="octet")
     return p.select(
         F.regexp_extract("message", r"#(\d+)\n$", 1).cast("long")
@@ -1637,7 +1695,7 @@ def q_read_jsonl_corpus(spark, sf_dir):
             ).otherwise(F.col("l")).alias("value")
         ).write.mode("overwrite").text(path)
 
-    path = _materialize_once(spark, sf_dir, "gps_jsonl", build)
+    path = _materialize_once(spark, sf_dir, "gps_jsonl_p", build)
     df = read_jsonl(
         spark, path, "doc_id BIGINT, text STRING, lang STRING, source STRING"
     )
@@ -2057,7 +2115,7 @@ def q_read_csv_corpus(spark, sf_dir):
         )
         ev.select(line.alias("value")).write.mode("overwrite").text(path)
 
-    path = _materialize_once(spark, sf_dir, "gps_csv", build)
+    path = _materialize_once(spark, sf_dir, "gps_csv_p", build)
     out = read_csv_corpus(
         spark, path,
         "event_id bigint, user_id bigint, event_type string, "

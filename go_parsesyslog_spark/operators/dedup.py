@@ -335,8 +335,41 @@ def minhash_lsh_jaccard_pairs(
     oracle's length(t) ≥ k restriction).
     """
     t_num, t_den = threshold
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k, seed)
-    banded = _banded_keys(sigs, id_col, num_hashes, bands)
+    # ONE combined UDF computes the signature AND the shingle array from
+    # a single _hash_shingles pass (r5 ran two separate UDFs — the text
+    # crossed the Arrow boundary twice and the shingle hash ran twice,
+    # guide §4.1 'control how many columns cross'); localCheckpoint
+    # materializes the narrow (id, sig, shingles) rows once so the two
+    # consumers below (banding and the gram join) cannot re-trigger the
+    # UDF per branch.
+    a, b = _minhash_coeffs(num_hashes, seed)
+
+    def _sig_grams(texts):
+        sigs_out, shs = [], []
+        for hashes in _hash_shingles(texts, shingle_k, sentinel=False):
+            shs.append(hashes.astype(np.int64))
+            # sentinel=True semantics for the signature side: an empty
+            # shingle set minhashes the {0} surrogate (see
+            # _hash_shingles), keeping signatures well-defined
+            hx = hashes if hashes.size else np.zeros(1, dtype=np.uint64)
+            x = hx.astype(np.uint64) % _MERSENNE
+            vals = (np.outer(a, x) + b[:, None]) % _MERSENNE
+            sigs_out.append(vals.min(axis=1).astype(np.int64))
+        return pd.DataFrame({"signature": sigs_out, "sh": shs})
+
+    _sig_grams.__annotations__ = {"texts": pd.Series,
+                                  "return": pd.DataFrame}
+    sig_grams_udf = F.pandas_udf(
+        "struct<signature: array<bigint>, sh: array<bigint>>"
+    )(_sig_grams)
+    sg = (
+        df.select(F.col(id_col),
+                  sig_grams_udf(F.col(text_col)).alias("_sg"))
+        .select(F.col(id_col), F.col("_sg.signature").alias("signature"),
+                F.col("_sg.sh").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    banded = _banded_keys(sg, id_col, num_hashes, bands)
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -370,14 +403,7 @@ def minhash_lsh_jaccard_pairs(
                 F.col(id_col))
     )
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def grams_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([
-            h.astype(np.int64)  # already sorted+distinct (np.unique)
-            for h in _hash_shingles(texts, shingle_k, sentinel=False)
-        ])
-
-    grams = df.select(F.col(id_col), grams_udf(F.col(text_col)).alias("sh"))
+    grams = sg.select(F.col(id_col), "sh")
     joined = members.hint("shuffle_hash").join(
         grams.hint("shuffle_hash"), id_col
     )

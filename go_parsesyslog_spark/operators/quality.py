@@ -35,13 +35,17 @@ def repetition_stats(
     * ``top_2gram_frac``     — share of the single most frequent 2-gram
     * ``repetitive``         — the Gopher-style reject flag
 
-    Scale shape: words and 2-grams are tagged structs in one array, so
-    the corpus explodes ONCE; ``groupBy(id, n, gram).count`` is
-    map-side combinable (repeated grams collapse before the shuffle)
-    and the re-aggregation to one row per doc is keyed on the same id
-    — no join back to the original text, no per-row O(w²) higher-order
-    loops.  Fractions are exact integer ratios cast to double, so the
-    DuckDB oracle replays them bit-for-bit.
+    Scale shape (r6): every metric is ROW-LOCAL — a doc's word/2-gram
+    multiset statistics depend on nothing outside the doc — so the
+    whole computation is array expressions inside one projection: ZERO
+    exchanges, linear at any corpus size.  (The r5 formulation exploded
+    every gram and shuffled (id, n, gram) rows — one full corpus-sized
+    exchange whose map-side combine still serialized every distinct
+    gram; guide §2.4 'remove shuffles outright'.)  Distinct counts come
+    from ``array_distinct``; the top-2-gram multiplicity is the longest
+    equal run of the SORTED bigram array, folded with one ``aggregate``
+    pass.  Fractions are the same exact integer ratios cast to double,
+    so the DuckDB oracle replays them bit-for-bit.
     """
     t = F.trim(F.col(text_col))
     words = F.split(t, r"\s+")
@@ -51,29 +55,37 @@ def repetition_stats(
         F.slice(words, F.lit(2), n_bi),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    # tagged (n, gram) structs: n=1 → each word, n=2 → "w[i] w[i+1]"
-    grams = F.concat(
-        F.transform(
-            words, lambda w: F.struct(F.lit(1).alias("n"), w.alias("gram"))
+    # longest equal run in the sorted bigram array == the max 2-gram
+    # multiplicity the exploded groupBy used to compute
+    is_run = lambda acc, x: acc["prev"].isNotNull() & (x == acc["prev"])  # noqa: E731
+    top_run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         ),
-        F.transform(
-            bigrams, lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(is_run(acc, x), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(is_run(acc, x), acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
         ),
+        lambda acc: acc["best"],
     )
-    exploded = df.select(
-        F.col(id_col), F.explode(grams).alias("g")
-    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    counts = exploded.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    one = F.when(F.col("n") == 1, F.col("cnt"))
-    two = F.when(F.col("n") == 2, F.col("cnt"))
-    agg = counts.groupBy(id_col).agg(
-        F.sum(one).cast("long").alias("n_words"),
-        F.count(one).cast("long").alias("n_distinct_words"),
-        F.coalesce(F.sum(two), F.lit(0)).cast("long").alias("n_2grams"),
-        F.count(two).cast("long").alias("n_distinct_2grams"),
-        F.coalesce(F.max(two), F.lit(0)).cast("long").alias("top_2gram_cnt"),
+    agg = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long")
+        .alias("n_distinct_words"),
+        F.size(bigrams).cast("long").alias("n_2grams"),
+        F.size(F.array_distinct(bigrams)).cast("long")
+        .alias("n_distinct_2grams"),
+        top_run.alias("top_2gram_cnt"),
     )
     dup_word = 1.0 - F.col("n_distinct_words") / F.col("n_words")
     dup_2g = F.when(
@@ -107,6 +119,14 @@ PII_PATTERNS = (
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 
+# Cheap NECESSARY-substring guard per class: a row that lacks the
+# guard character cannot match the pattern (every email has '@', the
+# dashed digit shapes have '-', IPv4 has '.'), so the expensive
+# java.util.regex pass is skipped for it — semantics-preserving by
+# construction, and on real text the overwhelming majority of rows
+# skip most classes (guide §1.2 step 2: make the per-row work cheap).
+_PII_GUARD = {"email": "@", "ssn": "-", "phone": "-", "ip": "."}
+
 
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted"
@@ -122,10 +142,15 @@ def redact_pii(
     cur = F.col(text_col)
     counts = []
     for name, pat, token in PII_PATTERNS:
+        g = cur.contains(_PII_GUARD[name])
+        # guarded count: rows without the necessary char count 0 (NULL
+        # text stays NULL, exactly as regexp_count(NULL) did)
         counts.append(
-            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+            F.when(g, F.regexp_count(cur, F.lit(pat)))
+            .when(cur.isNotNull(), F.lit(0))
+            .cast("long").alias(f"n_{name}")
         )
-        cur = F.regexp_replace(cur, pat, token)
+        cur = F.when(g, F.regexp_replace(cur, pat, token)).otherwise(cur)
     return df.select("*", *counts, cur.alias(out_col))
 
 

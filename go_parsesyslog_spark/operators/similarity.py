@@ -58,15 +58,21 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query (query side broadcast)."""
+    """Exact top-k cosine neighbors per query (query side broadcast).
+
+    Per-VECTOR norms are computed once per side before the join — the
+    r5 form evaluated both norm aggregates per PAIR, tripling the
+    per-pair higher-order-function work (guide §1.2 step 2); the
+    division is the identical IEEE expression, so sims are
+    bit-unchanged."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
-    )
-    pairs = corpus.crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    pairs = corpus.withColumn("_cn", _norm(F.col(vec_col))).crossJoin(
+        F.broadcast(q)
+    ).filter(F.col(id_col) != F.col(query_id_col))
     sim = _dot(F.col(vec_col), F.col("_qv")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("_qv"))
+        F.col("_cn") * F.col("_qn")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), id_col)
     return (
@@ -141,16 +147,23 @@ def cosine_topk_lsh(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")),
         dim, "_qv", n_tables, n_planes, seed,
     )
-    c_k = c.select(id_col, vec_col, F.explode("lsh_keys").alias("bkey"))
-    q_k = q.select(query_id_col, "_qv", F.explode("lsh_keys").alias("bkey"))
+    # per-vector norms hoisted before the bucket join (see
+    # cosine_topk_bruteforce) — identical IEEE values, 3x less
+    # per-candidate aggregate work
+    c_k = c.withColumn("_cn", _norm(F.col(vec_col))).select(
+        id_col, vec_col, "_cn", F.explode("lsh_keys").alias("bkey")
+    )
+    q_k = q.withColumn("_qn", _norm(F.col("_qv"))).select(
+        query_id_col, "_qv", "_qn", F.explode("lsh_keys").alias("bkey")
+    )
     cand = (
         c_k.join(q_k, "bkey")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(id_col, vec_col, query_id_col, "_qv")
+        .select(id_col, vec_col, "_cn", query_id_col, "_qv", "_qn")
         .distinct()
     )
     sim = _dot(F.col(vec_col), F.col("_qv")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("_qv"))
+        F.col("_cn") * F.col("_qn")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), id_col)
     return (
@@ -300,19 +313,21 @@ def cosine_topk_ivf(
     q_assign = _cell_assign_udf(cents, min(n_probe, len(cents)))
     c_k = corpus.select(
         id_col, vec_col, F.element_at(c_assign(F.col(vec_col)), 1).alias("cell")
-    )
+    ).withColumn("_cn", _norm(F.col(vec_col)))
     q_k = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv"),
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     cand = (
         c_k.join(q_k, "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(id_col, vec_col, query_id_col, "_qv")
+        .select(id_col, vec_col, "_cn", query_id_col, "_qv", "_qn")
         .distinct()
     )
+    # norms hoisted per vector (see cosine_topk_bruteforce) — identical
+    # IEEE division
     sim = _dot(F.col(vec_col), F.col("_qv")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("_qv"))
+        F.col("_cn") * F.col("_qn")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), id_col)
     return (
@@ -470,14 +485,21 @@ def embedding_near_dup_pairs(
 
     cand = _bucket_pairs(buckets, "ids", bucket_member_cap,
                          "id_a", "id_b").distinct()
-    vecs = df.select(id_col, vec_col)
+    # per-vector norm computed ONCE here, carried through the two
+    # attach joins — the r5 form re-ran both norm aggregates per
+    # surviving pair (identical IEEE values either way)
+    vecs = df.select(id_col, vec_col).withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    )
     pairs = (
         cand.join(vecs.withColumnRenamed(id_col, "id_a")
-                      .withColumnRenamed(vec_col, "va"), "id_a")
+                      .withColumnRenamed(vec_col, "va")
+                      .withColumnRenamed("_nrm", "_na"), "id_a")
         .join(vecs.withColumnRenamed(id_col, "id_b")
-                  .withColumnRenamed(vec_col, "vb"), "id_b")
+                  .withColumnRenamed(vec_col, "vb")
+                  .withColumnRenamed("_nrm", "_nb"), "id_b")
     )
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
@@ -564,26 +586,30 @@ def cosine_topk_quantized(
     shape as :func:`cosine_topk_bruteforce`; at scale the corpus scan
     moves 4× fewer bytes and the hot loop is integer multiply-adds.
     """
-    cq = quantize_int8(corpus, id_col, vec_col)
-    qq = quantize_int8(queries, query_id_col, vec_col).select(
-        query_id_col, F.col("qvec").alias("_qv")
-    )
-    pairs = cq.crossJoin(F.broadcast(qq)).filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    qdot = idot(F.col("qvec"), F.col("_qv"))
-    qsim = qdot.cast("double") / F.sqrt(
-        idot(F.col("qvec"), F.col("qvec")).cast("double")
-        * idot(F.col("_qv"), F.col("_qv")).cast("double")
+    # self-dots hoisted per VECTOR (the r5 form re-evaluated three
+    # integer-dot aggregates per pair, and referenced the qdot
+    # expression tree twice); integer values are identical, so the one
+    # IEEE division is bit-unchanged
+    cq = quantize_int8(corpus, id_col, vec_col).withColumn(
+        "_cc", idot(F.col("qvec"), F.col("qvec"))
+    )
+    qq = quantize_int8(queries, query_id_col, vec_col).select(
+        query_id_col, F.col("qvec").alias("_qv")
+    ).withColumn("_qq", idot(F.col("_qv"), F.col("_qv")))
+    pairs = cq.crossJoin(F.broadcast(qq)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    qsim = F.col("qdot").cast("double") / F.sqrt(
+        F.col("_cc").cast("double") * F.col("_qq").cast("double")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("qsim"), id_col)
     return (
-        pairs.withColumn("qdot", qdot)
+        pairs.withColumn("qdot", idot(F.col("qvec"), F.col("_qv")))
         .withColumn("qsim", qsim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -217,16 +217,21 @@ def cms_heavy_hitters(
     ``cms_est >= exact`` always (CMS never undercounts), and
     ``overcount = cms_est - exact`` is the collision mass.
 
-    Scale shape: the sketch is depth*width counters → a broadcast; the
-    candidate set is the distinct elements (already being counted
-    exactly by the same groupBy), each probed against the broadcast
-    sketch via its `depth` (row, bucket) keys and folded with min().
-    At 100 TB one keeps only the exact-count pass OR the sketch — here
-    both run so the estimator itself is oracle-checkable.  Ties break
-    on the element ascending.  Integer arithmetic end-to-end →
-    bit-replayable in DuckDB.
+    Scale shape: ONE pass over the stream — the exact groupBy (map-side
+    combined).  The sketch counter for (row, bucket) equals the SUM of
+    the exact counts of the elements hashing there, so it is rebuilt
+    from the collapsed (element, count) table instead of a second
+    full-stream explode: the r5 version ran `cms_sketch` over the raw
+    stream, computing depth salted md5s per stream ELEMENT; this form
+    computes them once per distinct element (vocabulary ≪ stream) and
+    produces bit-identical counters (guide §2.3 'aggregate before you
+    shuffle').  The sketch is depth*width counters → a broadcast; each
+    distinct element probes it via its `depth` (row, bucket) keys and
+    folds with min().  At 100 TB one keeps only the exact-count pass OR
+    the sketch — here both run so the estimator itself is
+    oracle-checkable.  Ties break on the element ascending.  Integer
+    arithmetic end-to-end → bit-replayable in DuckDB.
     """
-    sketch = cms_sketch(df, elem_col, depth, width)
     exact = df.groupBy(elem_col).agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
     )
@@ -238,6 +243,9 @@ def cms_heavy_hitters(
     )
     probes = exact.select(
         elem_col, "exact_cnt", F.posexplode(buckets).alias("row", "bucket")
+    )
+    sketch = probes.groupBy("row", "bucket").agg(
+        F.sum("exact_cnt").cast("long").alias("cnt")
     )
     est = (
         probes.join(F.broadcast(sketch), ["row", "bucket"])

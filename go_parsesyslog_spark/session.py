@@ -37,6 +37,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # One BLAS thread per Python worker (guide §4.2): numpy matmuls run
+    # inside N concurrent forked workers — letting each spawn its own
+    # OpenBLAS/OMP thread pool oversubscribes the host N× and the
+    # threads convoy.  Set before the JVM starts so forked workers
+    # inherit it; explicit env wins (a single-process driver-side
+    # training run may legitimately want threaded BLAS).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -44,6 +54,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan-split sizing is SCALE-DEPENDENT (guide §6): the default
+        # 128 MB split is right for a 100 TB directory of large files,
+        # but the bench tables are single files of 3-130 MB whose scans
+        # then run 1-2 tasks on a 32-core host.  Parameterised with a
+        # local default that splits multi-row-group files (lineitem:
+        # 6 row groups → 6 decode tasks); production deployments set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=128m (or larger, §6) to keep
+        # per-task scheduling overhead amortised.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "1m"),
+        )
+        # Allow shuffled-hash join where the per-partition build side
+        # fits (guide §3.1/§9): skips the two sorts of sort-merge; AQE
+        # still falls back/handles skew.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Large Arrow batches amortize the per-batch Python/regex setup in

@@ -210,9 +210,15 @@ def _materialize_availablenow(
             .start()
         )
         q.awaitTermination()
-        sink = spark.table(name)
-        rows = sink.collect()
-        result = spark.createDataFrame(rows, sink.schema)
+        # Hand back the memory-sink table DIRECTLY: spark.table() is
+        # eagerly analyzed, so the returned DataFrame pins the sink's
+        # rows (JVM-side) and stays valid after the temp view is
+        # dropped; LocalTableScan parallelizes across the session's
+        # cores.  The previous collect() + createDataFrame(rows) round-
+        # tripped every output row through driver-side Python pickle —
+        # measured 20+ s of the streaming grok gate at sf1.0 (guide §5:
+        # the driver should do almost no data work).
+        result = spark.table(name)
         try:
             spark.catalog.dropTempView(name)
         except Exception:
@@ -501,6 +507,14 @@ def availablenow_grok_extract(
     from go_parsesyslog_spark.operators.grok import grok_parse
 
     src = _read_static_stream(spark, events_path, columns=columns)
+    # The file source hands the whole single-row-group bench table to
+    # ONE microbatch task; this query is stateless (no keyed shuffle
+    # downstream), so without an explicit repartition the compiled-
+    # regex UDF runs serially however many cores the cluster has.
+    # Deterministic hash on the first projected column (same discipline
+    # as the batch-side `_t` reader).
+    par = spark.sparkContext.defaultParallelism
+    src = src.repartition(par, F.col(columns[0]))
     parsed = grok_parse(
         src.withColumn("line", line_expr), "line", template, mode="arrow"
     )
