@@ -69,7 +69,9 @@ def _t_layout(path: str) -> tuple[int, int]:
     return _T_SPLITS_CACHE[key]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+) -> DataFrame:
     """Read a testdata table, fixing INPUT-SKEW parallelism: the bench
     tables are single parquet files with ONE row group, so however large
     the scale factor, every scan is exactly one task and all downstream
@@ -77,16 +79,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     embedding UDFs) runs single-threaded (guide §2.5 'one huge
     unsplittable file → repartition immediately after the read').  The
     repartition is a deterministic hash on the table's id column sized
-    to the session parallelism; tiny dims (<1 MB — they broadcast
+    to the session parallelism; tiny dims (<4 MB — they broadcast
     anyway) and already-splittable multi-row-group files are left
     alone.  Value-neutral: every declared query is partitioning-
-    independent (md5/xxhash-keyed determinism throughout)."""
+    independent (md5/xxhash-keyed determinism throughout).
+
+    ``parallel=False`` opts a query out: for plans whose only work is a
+    map-side-combinable aggregation or a window that re-shuffles on its
+    own key anyway, the extra exchange buys nothing and costs ~0.3 s —
+    those call sites disable it deliberately (measured per query; the
+    guide's §1.2 'don't compute things you throw away')."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     key = _T_REPART_KEY.get(name)
-    if key is None or os.path.isdir(path):
+    if not parallel or key is None or os.path.isdir(path):
         return df
     par = spark.sparkContext.defaultParallelism
     row_groups, size = _t_layout(path)
@@ -322,7 +330,7 @@ def q_rfc5424_frame_validation(spark, sf_dir):
 def q_priority_names(spark, sf_dir):
     """A6-A8: facility/severity derivation + name tables over the full
     0..191 priority range."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     from go_parsesyslog_spark.functions.priority import (
         facility_name,
         severity_name,
@@ -344,7 +352,7 @@ def q_priority_names(spark, sf_dir):
 def q_severity_class_counts(spark, sf_dir):
     """Route-stage aggregation shape: counts per severity_class ×
     bucket."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     sev = (F.col("event_id") % 192) % 8
     cls = (
         F.when(sev <= 2, "emergency")
@@ -362,7 +370,7 @@ def q_severity_class_counts(spark, sf_dir):
 
 def q_hourly_sink_agg(spark, sf_dir):
     """Windowed per-sink counts (F.window tumbling 1 hour)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     sev = (F.col("event_id") % 192) % 8
     cls = (
         F.when(sev <= 2, "emergency")
@@ -384,7 +392,7 @@ def q_hourly_sink_agg(spark, sf_dir):
 
 def q_enrich_broadcast(spark, sf_dir):
     """Broadcast hash-join enrichment against a tiny literal dim."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     dim = spark.createDataFrame(
         [
             ("error", 3, "error"),
@@ -471,7 +479,7 @@ def q_tpch_q5ish(spark, sf_dir):
 
 def q_latest_event_per_user(spark, sf_dir):
     """Window ranking: row_number over (user, ts desc)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -486,7 +494,7 @@ def q_latest_event_per_user(spark, sf_dir):
 
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag + cumulative break sum)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     brk = F.when(
         F.lag("ts").over(w).isNull()
@@ -507,7 +515,7 @@ def q_sessionize(spark, sf_dir):
 
 def q_error_users_no_purchase(spark, sf_dir):
     """Set operation: EXCEPT via distinct projections."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
     buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     return err.exceptAll(buy).select(F.col("user_id").cast("long").alias("user_id"))
@@ -515,7 +523,7 @@ def q_error_users_no_purchase(spark, sf_dir):
 
 def q_props_extract(spark, sf_dir):
     """Scalar string extraction from the JSON-ish props column."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     k = F.regexp_extract("props", r"[0-9]+", 0).cast("long")
     return (
         ev.groupBy("event_type")
@@ -526,7 +534,7 @@ def q_props_extract(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: content-hash groupBy (md5 matches across engines)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     return (
         docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_copies"),
@@ -1012,7 +1020,7 @@ def q_label_centroids(spark, sf_dir):
     average in double, agreement ~1e-15)."""
     from go_parsesyslog_spark.operators.similarity import label_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", parallel=False)
     out = label_centroids(emb)
     return out.select(
         "label",
@@ -1161,7 +1169,7 @@ def q_stratified_sample(spark, sf_dir):
     kept set, and the DuckDB oracle replays the same arithmetic."""
     from go_parsesyslog_spark.operators.curation import stratified_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     kept = stratified_sample(
         docs, {"src0": 1.0, "src1": 0.5, "src2": 0.1},
         strata_col="source", id_col="doc_id", default_fraction=0.25,
@@ -1535,7 +1543,7 @@ def q_turn_transitions(spark, sf_dir):
     map-side-combinable count on the tiny type x type key space."""
     from go_parsesyslog_spark.operators.conversation import turn_transitions
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     return turn_transitions(ev, "user_id", "event_type", ["ts", "event_id"])
 
 
@@ -1546,7 +1554,7 @@ def q_turn_gap_stats(spark, sf_dir):
     event_type as exact integer count/sum/max (float-free hash)."""
     from go_parsesyslog_spark.operators.conversation import turn_gap_stats
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     return turn_gap_stats(
         ev, "user_id", "ts", ["ts", "event_id"], "event_type"
     )
@@ -1579,7 +1587,7 @@ def q_asof_enrich(spark, sf_dir):
     implementation of the same semantics."""
     from go_parsesyslog_spark.operators.joins import asof_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -1638,7 +1646,7 @@ def q_rolling_user_activity(spark, sf_dir):
     window runs over the tiny daily frame."""
     from go_parsesyslog_spark.operators.aggregate import rolling_daily_counts
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     out = rolling_daily_counts(ev, "user_id", "ts", window_days=7)
     return out.select(
         F.col("user_id").cast("long").alias("user_id"),
@@ -1654,7 +1662,7 @@ def q_hourly_anomalies(spark, sf_dir):
     order and bit-replayable by the oracle."""
     from go_parsesyslog_spark.operators.aggregate import hourly_anomalies
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     return hourly_anomalies(ev, "event_type", "ts", z_threshold=3)
 
 
@@ -1666,7 +1674,7 @@ def q_length_quantiles(spark, sf_dir):
     term is an exact dyadic rational on integer inputs)."""
     from go_parsesyslog_spark.operators.aggregate import group_quantiles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     return group_quantiles(docs, "source", "n_chars").select(
         "source", "n", "p25", "p50", "p75"
     )
@@ -1714,7 +1722,7 @@ def q_upsample_mix(spark, sf_dir):
     The exact copy multiset is engine-replayable — no RNG."""
     from go_parsesyslog_spark.operators.curation import upsample_sources
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     out = upsample_sources(
         docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0}
     )
@@ -1734,7 +1742,7 @@ def q_deterministic_shuffle(spark, sf_dir):
     orderBy(rand()))."""
     from go_parsesyslog_spark.operators.curation import deterministic_shuffle
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     out = deterministic_shuffle(docs, n_shards=16)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1752,7 +1760,7 @@ def q_rollup_type_dow(spark, sf_dir):
     plus the SQL-standard grouping_id bitmask."""
     from go_parsesyslog_spark.operators.grouping import hierarchy_rollup
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     return hierarchy_rollup(
         ev.withColumn("dow", F.weekday("ts").cast("long")),
         ["event_type", "dow"],
@@ -1825,7 +1833,7 @@ def q_topk_users_dense(spark, sf_dir):
     plan you want at 10^12 rows."""
     from go_parsesyslog_spark.operators.grouping import topk_per_group_dense
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     return topk_per_group_dense(
         ev, "event_type", "user_id", F.count(F.lit(1)), 3
     )
@@ -1839,7 +1847,7 @@ def q_funnel_click_purchase(spark, sf_dir):
     HashAggregates with no intervening Exchange)."""
     from go_parsesyslog_spark.operators.grouping import funnel_latency
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     out = funnel_latency(ev, "user_id", "ts", "event_type",
                          "click", "purchase")
     return out.select(
@@ -1857,7 +1865,7 @@ def q_pivot_type_counts(spark, sf_dir):
     inverse, closing the reshape pair."""
     from go_parsesyslog_spark.operators.grouping import pivot_wide
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     return pivot_wide(
         ev, "user_id", "event_type",
         ["view", "click", "purchase", "signup", "error"],
@@ -2047,7 +2055,7 @@ def q_merge_activity_spans(spark, sf_dir):
         merge_intervals,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", parallel=False).select(
         "user_id",
         F.unix_timestamp("ts").alias("s"),
         (F.unix_timestamp("ts")
@@ -2071,7 +2079,7 @@ def q_full_outer_reconcile(spark, sf_dir):
     the join) hash on the same key pair — Catalyst reuses the
     partitioning, so the fact table shuffles once per side and the
     join adds none."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
 
     def daily(etype, alias):
         return (
@@ -2155,7 +2163,7 @@ def q_value_decile_profile(spark, sf_dir):
         rank_decile_profile,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", parallel=False)
     return rank_decile_profile(ev, "event_type", "value", 10)
 
 

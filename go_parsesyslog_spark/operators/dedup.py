@@ -424,17 +424,12 @@ def minhash_lsh_jaccard_pairs(
             "union_size": union[mask].astype(np.int64),
         })
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        arrs = [np.asarray(a, dtype=np.int64)
-                for a in pdf["sh"].to_numpy()[order]]
+    def verify_bucket(ids, arrs, bn, out):
         m = len(ids)
         lens = np.array([a.size for a in arrs], dtype=np.int64)
         # chain mode follows the BUCKET size (bn), not the group size —
         # a salted sub-group of a mega-bucket is small but still chains
-        if int(pdf["bn"].iat[0]) > bucket_pair_cap:
+        if bn > bucket_pair_cap:
             # chain edges only — same candidate set as minhash_lsh_pairs
             # (the sub-group is a contiguous sorted range plus the
             # previous boundary member, so local adjacency == the global
@@ -444,7 +439,8 @@ def minhash_lsh_jaccard_pairs(
                 for i in range(m - 1)
             ], dtype=np.int64)
             union = lens[:-1] + lens[1:] - inter
-            return _pair_rows((ids[:-1], ids[1:]), inter, union)
+            out.append(((ids[:-1], ids[1:]), inter, union))
+            return
         flat = np.concatenate(arrs) if m else np.empty(0, np.int64)
         uniq, inv = np.unique(flat, return_inverse=True)
         ii, jj = np.triu_indices(m, 1)
@@ -459,11 +455,66 @@ def minhash_lsh_jaccard_pairs(
                 for i, j in zip(ii, jj)
             ], dtype=np.int64)
         union = lens[ii] + lens[jj] - inter
-        return _pair_rows((ids[ii], ids[jj]), inter, union)
+        out.append(((ids[ii], ids[jj]), inter, union))
 
+    # ONE Python call per COARSE group, not per bucket (the
+    # simhash_near_dup_pairs pattern, ported here in r6): applyInPandas
+    # pays fixed per-group machinery — Arrow framing, worker dispatch —
+    # and LSH banding over a near-dup corpus produces tens of thousands
+    # of tiny buckets (92k at sf1.0; measured ~10 s of pure group
+    # overhead).  Buckets are recovered inside the call with a lexsort
+    # + boundary scan; per-bucket verify logic, chain semantics and the
+    # dense/sparse fallbacks are UNCHANGED.  Per-coarse-group residency
+    # stays bounded because the group count scales with the member-row
+    # count (below), the same discipline as simhash's verify.
+    def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        band = pdf["band"].to_numpy(dtype=np.int64)
+        bh = pdf["band_hash"].to_numpy(dtype=np.int64)
+        grp = pdf["grp"].to_numpy(dtype=np.int64)
+        bn = pdf["bn"].to_numpy(dtype=np.int64)
+        ids_all = pdf[id_col].to_numpy()
+        sh_all = pdf["sh"].to_numpy()
+        order = np.lexsort((ids_all, grp, bh, band))
+        band, bh, grp, bn = band[order], bh[order], grp[order], bn[order]
+        ids_all = ids_all[order]
+        sh_all = sh_all[order]
+        bounds = np.flatnonzero(np.concatenate((
+            [True],
+            (np.diff(band) != 0) | (np.diff(bh) != 0) | (np.diff(grp) != 0),
+        )))
+        bounds = np.append(bounds, len(band))
+        out: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                arrs = [np.asarray(a, dtype=np.int64) for a in sh_all[s:e]]
+                verify_bucket(ids_all[s:e], arrs, int(bn[s]), out)
+        if not out:
+            return pd.DataFrame({
+                "doc_a": [], "doc_b": [],
+                "inter_size": pd.Series([], dtype=np.int64),
+                "union_size": pd.Series([], dtype=np.int64),
+            })
+        ids_a = np.concatenate([o[0][0] for o in out])
+        ids_b = np.concatenate([o[0][1] for o in out])
+        inter = np.concatenate([o[1] for o in out])
+        union = np.concatenate([o[2] for o in out])
+        return _pair_rows((ids_a, ids_b), inter, union)
+
+    # coarse-group count scales with the member-row volume so average
+    # per-group residency is bounded at any corpus size (bands × docs
+    # is an upper bound on member rows; the count() is metadata-cheap)
+    n_member_rows = bands * df.count()
+    shuffle_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    n_groups = max(4 * shuffle_parts, -(-n_member_rows // group_budget_rows))
+    grouped = joined.withColumn(
+        "_vgrp",
+        F.pmod(F.xxhash64("band", "band_hash", "grp"), F.lit(n_groups)),
+    )
     return (
-        joined.groupBy("band", "band_hash", "grp")
-        .applyInPandas(lambda _k, pdf: verify(pdf), out_schema)
+        grouped.groupBy("_vgrp")
+        .applyInPandas(lambda _k, pdf: verify_group(pdf), out_schema)
         .distinct()
     )
 

@@ -22,18 +22,27 @@ reference's framing rules:
 
 Frame lengths count BYTES, so the splitter works on the UTF-8 encoding
 and decodes back — char arithmetic would mis-split around multibyte
-text.  The per-blob scan is a linear Python loop inside an
-Arrow-batched pandas UDF: blobs are few and fat (one per reader/file
-chunk), the per-message work downstream is the vectorized parse.
+text.
+
+Execution shape (r6, guide §4.2): the boundary scan per blob is a pure
+integer loop (regex frame-header match + ``find`` — no per-message
+decode or allocation), and the output message column is built as ONE
+Arrow string array whose offsets index the batch's EXISTING data
+buffer — re-slicing bytes by writing a new offsets array instead of
+copying strings row by row (``mapInArrow``).  That zero-copy path is
+taken when the blob is valid UTF-8 and every boundary lands on a
+character start (byte slicing == the strict decode); otherwise the
+batch falls back to the r5 per-message ``decode(errors="replace")``
+path, which is the only case where replacement characters can appear —
+so fast and fallback paths are value-identical wherever both apply.
 """
 
 from __future__ import annotations
 
 import re
 
-import pandas as pd
+import numpy as np
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _FRAME_RE = re.compile(rb"(\d{1,9}) ")
@@ -43,8 +52,11 @@ RFC5424 = "rfc5424"
 AUTO = "auto"
 
 
-def _split_blob(b: bytes, fmt: str) -> list[str]:
-    out: list[str] = []
+def _split_bounds(b: bytes, fmt: str) -> list[int]:
+    """Message boundary BYTE offsets [0, b1, ..., len(b)] (n+1 entries
+    for n messages; [0] for the empty blob).  Pure integer scan — the
+    decode-free core shared by the zero-copy and fallback paths."""
+    bounds = [0]
     i, n = 0, len(b)
     while i < n:
         framed = False
@@ -52,16 +64,21 @@ def _split_blob(b: bytes, fmt: str) -> list[str]:
             m = _FRAME_RE.match(b, i)
             if m:
                 length = int(m.group(1))
-                end = min(m.end() + length, n)
-                out.append(b[i:end].decode("utf-8", errors="replace"))
-                i = end
+                i = min(m.end() + length, n)
                 framed = True
         if not framed:
             j = b.find(b"\n", i)
-            end = n if j < 0 else j + 1
-            out.append(b[i:end].decode("utf-8", errors="replace"))
-            i = end
-    return out
+            i = n if j < 0 else j + 1
+        bounds.append(i)
+    return bounds
+
+
+def _split_blob(b: bytes, fmt: str) -> list[str]:
+    bounds = _split_bounds(b, fmt)
+    return [
+        b[s:e].decode("utf-8", errors="replace")
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ]
 
 
 def split_messages(
@@ -70,22 +87,109 @@ def split_messages(
     """Explode a column of concatenated wire messages into one row per
     message, adding ``msg_idx`` (0-based position within the blob) and
     replacing ``blob_col`` with the single message text.  Feed the
-    result straight into ``parse_logs``."""
+    result straight into ``parse_logs``.  NULL blobs yield no rows
+    (matching the previous explode-of-empty-array semantics)."""
+    import pyarrow as pa
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def split_udf(blobs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _split_blob(s.encode("utf-8"), fmt) if s is not None else []
-                for s in blobs
-            ]
-        )
-
-    keep = [c for c in df.columns if c != blob_col]
-    return (
-        df.withColumn("_msgs", split_udf(F.col(blob_col)))
-        .select(
-            *keep,
-            F.posexplode("_msgs").alias("msg_idx", blob_col),
-        )
+    keep = [f for f in df.schema.fields if f.name != blob_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("msg_idx", T.IntegerType(), False),
+            T.StructField(blob_col, T.StringType(), True),
+        ]
     )
+    keep_names = [f.name for f in keep]
+
+    def gen(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index(blob_col))
+            if pa.types.is_large_string(col.type):
+                col = col.cast(pa.string())
+            # per-row boundary scan over the SHARED Arrow data buffer
+            voff = col.offset
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                voff: voff + n_rows + 1
+            ]
+            data_buf = col.buffers()[2]
+            data = (np.frombuffer(data_buf, dtype=np.uint8)
+                    if data_buf is not None
+                    else np.empty(0, dtype=np.uint8))
+            has_nulls = col.null_count > 0
+            counts = np.zeros(n_rows, dtype=np.int64)
+            row_bounds: list[list[int]] = []
+            row_bytes: list[bytes | None] = []
+            for r in range(n_rows):
+                if has_nulls and not col[r].is_valid:
+                    row_bounds.append([0])
+                    row_bytes.append(None)
+                    continue
+                b = data[offs[r]: offs[r + 1]].tobytes()
+                bounds = _split_bounds(b, fmt)
+                row_bounds.append(bounds)
+                row_bytes.append(b)
+                counts[r] = len(bounds) - 1
+            total = int(counts.sum())
+            # zero-copy eligibility: valid UTF-8 blobs whose internal
+            # boundaries all start a character (not a 0b10xxxxxx
+            # continuation byte) — then byte slices == strict decodes
+            fast = True
+            for r in range(n_rows):
+                b = row_bytes[r]
+                if b is None:
+                    continue
+                try:
+                    b.decode("utf-8", "strict")
+                except UnicodeDecodeError:
+                    fast = False
+                    break
+                for s in row_bounds[r][1:-1]:
+                    if (b[s] & 0xC0) == 0x80:
+                        fast = False
+                        break
+                if not fast:
+                    break
+            if fast:
+                out_offs = np.empty(total + 1, dtype=np.int32)
+                out_offs[0] = 0
+                pos = 1
+                for r in range(n_rows):
+                    base = offs[r]
+                    for s in row_bounds[r][1:]:
+                        out_offs[pos] = base + s
+                        pos += 1
+                text_arr = pa.Array.from_buffers(
+                    pa.string(), total,
+                    [None, pa.py_buffer(out_offs.tobytes()),
+                     data_buf if data_buf is not None else pa.py_buffer(b"")],
+                )
+            else:  # r5 path: per-message decode with replacement chars
+                msgs = []
+                for r in range(n_rows):
+                    b = row_bytes[r]
+                    if b is None:
+                        continue
+                    bounds = row_bounds[r]
+                    msgs.extend(
+                        b[s:e].decode("utf-8", errors="replace")
+                        for s, e in zip(bounds[:-1], bounds[1:])
+                    )
+                text_arr = pa.array(msgs, type=pa.string())
+            idx = pa.array(
+                np.concatenate(
+                    [np.arange(c, dtype=np.int32) for c in counts]
+                ) if total else np.empty(0, dtype=np.int32)
+            )
+            take = pa.array(np.repeat(np.arange(n_rows), counts))
+            arrays = [
+                batch.column(batch.schema.get_field_index(c)).take(take)
+                for c in keep_names
+            ] + [idx, text_arr]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=keep_names + ["msg_idx", blob_col]
+            )
+
+    return df.mapInArrow(gen, out_schema)
