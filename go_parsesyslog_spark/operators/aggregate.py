@@ -101,10 +101,15 @@ def hourly_anomalies(
       ⇔ (H*n - total)^2 * (H-1) > z^2 * (H*sumsq - total^2)
 
     with H = number of distinct hours for the group, total = Σn,
-    sumsq = Σn².  Magnitudes stay far under 2^63 for daily/monthly
-    spans (n ≤ 10^6/hour, H ≤ 10^4 ⇒ LHS ≤ 10^20... so counts are
-    pre-bounded: callers at larger scale shard by month first — the
-    per-group arithmetic is exact within a month at 10^9 rows/hour).
+    sumsq = Σn².  The cross-multiplied comparison runs in
+    DECIMAL(38,0) (ADVICE r5: the r5 int64 form overflowed far below
+    its documented bound — at H ≈ 744 hours and n ≈ 10^6 rows/hour,
+    d²·(H−1) ≈ 4·10^20 > 2^63, and Spark's non-ANSI wraparound would
+    silently flip flags while the BIGINT oracle errored).  In decimal
+    the terms stay exact up to ~10^38: comfortably beyond H ≤ 10^5
+    hours at n ≤ 10^9 rows/hour (d² (H−1) ≤ (10^5·10^9)² · 10^5 =
+    10^33).  Within int64 range the decimal and int comparisons are
+    identical, so engine replays are unchanged.
 
     Plan: hourly counts (map-side combined) → per-group totals (tiny)
     → broadcast join back → pure projection.  Output: (group, hour_ts,
@@ -117,12 +122,15 @@ def hourly_anomalies(
     totals = hourly.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_h"),
         F.sum("n").alias("_tot"),
-        F.sum(F.col("n") * F.col("n")).alias("_ssq"),
+        F.sum(F.col("n").cast("decimal(38,0)")
+              * F.col("n").cast("decimal(38,0)")).alias("_ssq"),
     )
-    d = F.col("_h") * F.col("n") - F.col("_tot")
-    flag = (d * d * (F.col("_h") - 1)) > (
-        F.lit(z_threshold * z_threshold)
-        * (F.col("_h") * F.col("_ssq") - F.col("_tot") * F.col("_tot"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = dec(F.col("_h") * F.col("n") - F.col("_tot"))
+    flag = (d * d * dec(F.col("_h") - 1)) > (
+        dec(F.lit(z_threshold * z_threshold))
+        * (dec(F.col("_h")) * F.col("_ssq")
+           - dec(F.col("_tot")) * dec(F.col("_tot")))
     )
     return (
         hourly.join(F.broadcast(totals), group_col)
@@ -208,8 +216,12 @@ def resample_ffill(
     Output: (key, bucket_start TIMESTAMP, value, is_observed BOOLEAN).
     """
     order_cols = order_cols or []
+    # floor, not cast: cast truncates toward zero, which rounds
+    # pre-1970 (negative-epoch) timestamps UP instead of down —
+    # diverging from floor-division bucketing and from the DuckDB
+    # oracle's `//` (ADVICE r5).  Identical for non-negative epochs.
     bucket = (
-        (F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long")
         * step_sec
     )
     rank = F.struct(F.col(ts_col), *[F.col(c) for c in order_cols])

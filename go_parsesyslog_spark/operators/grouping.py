@@ -164,13 +164,18 @@ def topk_per_group_dense(
     at a kept rank are kept, so the result is a deterministic SET even
     when the measure ties (row_number would pick arbitrarily among
     ties and break oracle replay).  Two shuffles by necessity: the
-    (group, key) count agg, then the window re-partitioned on group
+    (group, key) measure agg, then the window re-partitioned on group
     alone — but the window input is the collapsed (group, key) frame,
-    not the raw events.  Output: (group, key, n BIGINT, rnk INT)."""
+    not the raw events.  Output: (group, key, n BIGINT, rnk INT).
+
+    ``order_measure`` must be an aggregate Column (e.g.
+    ``F.count(F.lit(1))``, ``F.sum("bytes")``) — it IS the ranking
+    measure (ADVICE r5: the r5 body hardcoded count and silently
+    ignored a non-count measure)."""
     from pyspark.sql import Window
 
     counted = df.groupBy(group_col, key_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+        order_measure.cast("long").alias("n")
     )
     w = Window.partitionBy(group_col).orderBy(F.desc("n"))
     return (

@@ -72,19 +72,28 @@ def asof_join(
         .orderBy("_t", "_side", F.col("_rord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_ts = F.last(F.when(F.col("_side") == 0, F.col("_t")),
-                        ignorenulls=True).over(w)
+    # ONE struct carries (matched ts + every attached column), so all
+    # outputs come from the SAME matched right row — ADVICE r5: per-
+    # column independent last(col, ignorenulls) windows would fill a
+    # NULL attached column from an OLDER right row, mixing attributes
+    # of different matches (DuckDB's native ASOF JOIN — the oracle —
+    # never does that).
+    match = F.last(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(F.col("_t").alias("_mts"),
+                     *[F.col(c) for c in right_cols]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    matched_ts = match["_mts"]
     lag_sec = F.unix_timestamp("_t") - F.unix_timestamp(matched_ts)
     in_tol = (
         F.lit(True) if tolerance_sec is None else (lag_sec <= tolerance_sec)
     )
     out = u
     for c in right_cols:
-        out = out.withColumn(
-            c,
-            F.when(in_tol,
-                   F.last(F.col(c), ignorenulls=True).over(w)),
-        )
+        out = out.withColumn(c, F.when(in_tol, match[c]))
     return (
         out.withColumn(
             "asof_lag_sec", F.when(in_tol, lag_sec).cast("long")

@@ -130,6 +130,19 @@ def test_topk_dense_keeps_ties(spark):
     assert rows == [("x", 2, 1), ("y", 2, 1)]
 
 
+def test_topk_dense_honors_order_measure(spark):
+    """ADVICE r5: a non-count measure must drive the ranking (the r5
+    body hardcoded count and silently ignored the parameter)."""
+    df = spark.createDataFrame(
+        [("g", "a", 100), ("g", "b", 1), ("g", "b", 1), ("g", "b", 1)],
+        "grp string, member string, bytes long",
+    )
+    out = topk_per_group_dense(df, "grp", "member", F.sum("bytes"), 1)
+    rows = [(r["member"], r["n"], r["rnk"]) for r in out.collect()]
+    # by count b (3 rows) would win; by sum(bytes) a (100) must win
+    assert rows == [("a", 100, 1)]
+
+
 def test_topk_pushes_group_limit_below_shuffle(spark):
     plan = _plan(
         topk_per_group_dense(
