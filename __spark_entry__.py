@@ -151,42 +151,54 @@ def _materialize_once(spark, sf_dir: str, out_prefix: str, build) -> str:
 # arithmetic; see each oracle string.
 # ---------------------------------------------------------------------------
 
+# concat/lpad instead of format_string: java.util.Formatter costs
+# ~2-5 µs/row; the codegen'd concat chain is byte-identical for these
+# non-negative operands and ~2x faster (measured 0.92 -> 0.49 s at
+# sf1.0, diff-verified row-for-row; the DuckDB oracles replay the
+# ARITHMETIC, not the construction method)
+def _i(c) -> F.Column:
+    return c.cast("int").cast("string")
+
+
+def _lp2(c) -> F.Column:
+    return F.lpad(c.cast("int").cast("string"), 2, "0")
+
+
 def _with_rfc3164_text(ev: DataFrame) -> DataFrame:
     """<pri>Oct 11 HH:MM:SS h<u> app<a>[pid]: evt <type> #<id>"""
     return ev.withColumn(
         "text",
-        F.format_string(
-            "<%d>Oct 11 %02d:%02d:%02d h%d app%d[%d]: evt %s #%d",
-            (F.col("event_id") % 192).cast("int"),
-            (F.col("event_id") % 14).cast("int"),
-            ((F.col("event_id") * 11) % 60).cast("int"),
-            ((F.col("event_id") * 29) % 60).cast("int"),
-            (F.col("user_id") % 50).cast("int"),
-            (F.col("event_id") % 7).cast("int"),
-            (F.col("event_id") % 1000).cast("int"),
-            F.col("event_type"),
-            F.col("event_id").cast("int"),
+        F.concat(
+            F.lit("<"), _i(F.col("event_id") % 192), F.lit(">Oct 11 "),
+            _lp2(F.col("event_id") % 14), F.lit(":"),
+            _lp2((F.col("event_id") * 11) % 60), F.lit(":"),
+            _lp2((F.col("event_id") * 29) % 60),
+            F.lit(" h"), _i(F.col("user_id") % 50),
+            F.lit(" app"), _i(F.col("event_id") % 7),
+            F.lit("["), _i(F.col("event_id") % 1000), F.lit("]: evt "),
+            F.col("event_type"), F.lit(" #"), _i(F.col("event_id")),
         ),
     )
 
 
 def _with_rfc5424_text(ev: DataFrame, frame_extra: F.Column | None = None) -> DataFrame:
-    content = F.format_string(
-        '<%d>1 2024-01-%02dT%02d:%02d:%02dZ h%d app%d %d ID%d '
-        '[ev@1 type="%s" k="%d"] evt %s #%d',
-        (F.col("event_id") % 192).cast("int"),
-        (1 + F.col("event_id") % 28).cast("int"),
-        (F.col("event_id") % 14).cast("int"),
-        ((F.col("event_id") * 11) % 60).cast("int"),
-        ((F.col("event_id") * 29) % 60).cast("int"),
-        (F.col("user_id") % 50).cast("int"),
-        (F.col("event_id") % 7).cast("int"),
-        (F.col("event_id") % 1000).cast("int"),
-        (F.col("event_id") % 97).cast("int"),
-        F.col("event_type"),
-        (F.col("event_id") % 100).cast("int"),
-        F.col("event_type"),
-        F.col("event_id").cast("int"),
+    # concat/lpad form of
+    # '<%d>1 2024-01-%02dT%02d:%02d:%02dZ h%d app%d %d ID%d
+    #  [ev@1 type="%s" k="%d"] evt %s #%d' — see _with_rfc3164_text
+    content = F.concat(
+        F.lit("<"), _i(F.col("event_id") % 192), F.lit(">1 2024-01-"),
+        _lp2(1 + F.col("event_id") % 28), F.lit("T"),
+        _lp2(F.col("event_id") % 14), F.lit(":"),
+        _lp2((F.col("event_id") * 11) % 60), F.lit(":"),
+        _lp2((F.col("event_id") * 29) % 60),
+        F.lit("Z h"), _i(F.col("user_id") % 50),
+        F.lit(" app"), _i(F.col("event_id") % 7),
+        F.lit(" "), _i(F.col("event_id") % 1000),
+        F.lit(" ID"), _i(F.col("event_id") % 97),
+        F.lit(' [ev@1 type="'), F.col("event_type"),
+        F.lit('" k="'), _i(F.col("event_id") % 100),
+        F.lit('"] evt '), F.col("event_type"),
+        F.lit(" #"), _i(F.col("event_id")),
     )
     ev = ev.withColumn("_content", content)
     frame = F.length("_content")
@@ -255,10 +267,8 @@ def q_rfc3164_dlq(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "text",
-        F.format_string(
-            "<%d>Oct 11 10:00:00 host app: x",
-            (F.col("event_id") % 250).cast("int"),
-        ),
+        F.concat(F.lit("<"), _i(F.col("event_id") % 250),
+                 F.lit(">Oct 11 10:00:00 host app: x")),
     )
     p = parse_logs(ev, fmt="rfc3164", ref_now=REF_NOW)
     return p.select("event_id", "err_code")
@@ -1040,10 +1050,13 @@ def q_multi_message_split(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id").withColumn(
         "text",
         F.concat(*[
-            F.format_string(
-                f"<13>Oct 11 10:00:0{i} h app: m{i} #%d\n", F.col("event_id")
-            )
+            c
             for i in (1, 2, 3)
+            for c in (
+                F.lit(f"<13>Oct 11 10:00:0{i} h app: m{i} #"),
+                F.col("event_id").cast("int").cast("string"),
+                F.lit("\n"),
+            )
         ]),
     )
     return split_messages(ev, fmt="rfc3164").select(
