@@ -483,8 +483,16 @@ def embedding_near_dup_pairs(
     )
     from go_parsesyslog_spark.operators.dedup import _bucket_pairs
 
+    # NO distinct here: cross-table duplicate candidates are ~1% for
+    # near-orthogonal corpora (measured 3.86 M -> 3.82 M at sf1.0) while
+    # the distinct itself cost a 3.8 M-row exchange; duplicates score to
+    # identical rows and collapse in the final distinct over the
+    # (threshold-surviving, orders-of-magnitude smaller) output.  On a
+    # boilerplate corpus where every table repeats the same mega-bucket
+    # pairs the duplication factor is bounded by n_tables — still
+    # cheaper to score x4 than to shuffle the full candidate set.
     cand = _bucket_pairs(buckets, "ids", bucket_member_cap,
-                         "id_a", "id_b").distinct()
+                         "id_a", "id_b")
     # per-vector norm computed ONCE here, carried through the two
     # attach joins — the r5 form re-ran both norm aggregates per
     # surviving pair (identical IEEE values either way)
@@ -504,6 +512,7 @@ def embedding_near_dup_pairs(
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+        .distinct()
     )
 
 

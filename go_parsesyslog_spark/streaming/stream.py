@@ -258,7 +258,8 @@ def availablenow_windowed_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     result = _materialize_availablenow(
-        spark, counts, "stream_windowed_counts"
+        spark, counts, "stream_windowed_counts",
+        shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
     )
     return result.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -307,7 +308,14 @@ def availablenow_dedup_keys(
     deduped = stream_dedup_exact(
         doubled, ["event_id"], ts_col="ts", watermark=watermark
     ).select("event_id", "user_id", "event_type")
-    return _materialize_availablenow(spark, deduped, "stream_dedup_keys")
+    # narrowed state-store count, same rationale as the interval join
+    # below: at gate scale the per-store open/commit lifecycle dominates
+    # the row work (measured 3.5 -> 2.5 s at 32 -> 16 stores on a 1 M-row
+    # batch); production streams size their own checkpointed partitioning
+    return _materialize_availablenow(
+        spark, deduped, "stream_dedup_keys",
+        shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
+    )
 
 
 def availablenow_session_windows(
@@ -336,7 +344,8 @@ def availablenow_session_windows(
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     result = _materialize_availablenow(
-        spark, sessions, "stream_session_windows"
+        spark, sessions, "stream_session_windows",
+        shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
     )
     return result.select(
         "user_id",
