@@ -526,11 +526,60 @@ def minhash_lsh_jaccard_pairs(
     )
 
 
+def _cc_local_labels(edges: DataFrame) -> DataFrame:
+    """(node, lbl=component-min) for every node of a SMALL edge set,
+    computed in ONE executor task: a single-group applyInPandas running
+    vectorized Shiloach–Vishkin-style union-find (hook each edge's two
+    roots to their minimum, then full pointer-doubling compression,
+    until every edge is internal — O(log n) numpy passes over the edge
+    arrays, no per-row Python).  Deterministic: ``np.unique`` sorts the
+    node ids so index order == id order, and hooking always attaches
+    the LARGER root to the smaller, so the component's min id is the
+    one node that can never be re-parented — at the fixpoint it is the
+    unique root and every member's label.  Output is identical to the
+    distributed star-alternation loop by construction (both emit
+    node → min-reachable-id); pinned by
+    tests/test_training_ops.py::test_dedup_clusters_local_matches_distributed."""
+    id_type = edges.schema["u"].dataType
+    out_schema = T.StructType([
+        T.StructField("node", id_type), T.StructField("lbl", id_type)
+    ])
+
+    def cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = pdf["u"].to_numpy()
+        v = pdf["v"].to_numpy()
+        nodes, idx = np.unique(np.concatenate((u, v)), return_inverse=True)
+        ui, vi = idx[: u.size], idx[u.size:]
+        parent = np.arange(nodes.size, dtype=np.int64)
+        while True:
+            pu, pv = parent[ui], parent[vi]
+            if np.array_equal(pu, pv):
+                break
+            # hook: every edge pulls the larger of its two roots down
+            # (min is order-independent under np.minimum.at, so the
+            # result does not depend on edge order)
+            np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
+            # compress: parent[i] <= i always holds, so repeated
+            # parent[parent] contracts every chain geometrically
+            while True:
+                nxt = parent[parent]
+                if np.array_equal(nxt, parent):
+                    break
+                parent = nxt
+        return pd.DataFrame({"node": nodes, "lbl": nodes[parent]})
+
+    return (
+        edges.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(lambda _k, pdf: cc(pdf), out_schema)
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 30,
+    local_edge_cap: int = 4_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph →
     ``(doc_id, canonical_id)`` where canonical_id = min doc id of the
@@ -569,6 +618,15 @@ def dedup_clusters(
     localCheckpoint-truncated and the fixpoint probe is a 1-row
     count/hash aggregate of the edge multiset.
 
+    Pair graphs at or below ``local_edge_cap`` edges (default 4M —
+    ~64 MB of id pairs, far under a task's memory budget) bypass the
+    loop: one executor task runs vectorized union-find over the whole
+    edge set (:func:`_cc_local_labels`), with provably identical
+    labels.  The cap is checked against the exact edge count (already
+    computed for the fixpoint probe), so the distributed loop remains
+    the automatic path for genuinely large near-dup graphs; pass
+    ``local_edge_cap=0`` to force it.
+
     Exactly SQL-reproducible: a recursive CTE computing min reachable
     id is the DuckDB oracle (driver query ``dedup_clusters``)."""
     edges = (
@@ -605,6 +663,28 @@ def dedup_clusters(
         return (row["n"], row["h1"], row["h2"])
 
     prev_sig = _signature(edges)
+    # SMALL pair graphs (the common case even at 100 TB — the verified
+    # near-dup subgraph is orders of magnitude smaller than the corpus)
+    # skip the distributed loop entirely: each star round costs ~6 tiny
+    # stages plus a fixpoint-probe job, ~0.4-0.6 s of pure scheduling
+    # per round at any data size (measured sf1.0: the loop was ~2.5 s
+    # of dedup_clusters' 5.4 s on a few-thousand-edge graph).  Below
+    # ``local_edge_cap`` edges (~64 MB of (u, v) longs; the count comes
+    # free from the signature probe) the whole component computation
+    # runs as ONE executor task (_cc_local_labels) with identical
+    # output.  The star loop remains the at-scale path and stays pinned
+    # by the local_edge_cap=0 tests.
+    if prev_sig[0] <= local_edge_cap:
+        labels = _cc_local_labels(edges)
+        singletons = docs.select(F.col(id_col).alias("node")).join(
+            connected, "node", "left_anti"
+        )
+        return (
+            labels.unionByName(singletons.withColumn("lbl", F.col("node")))
+            .select(
+                F.col("node").alias(id_col), F.col("lbl").alias("canonical_id")
+            )
+        )
     converged = False
     for _ in range(max_iters):
         # large-star: symmetric neighborhoods; every node u attaches

@@ -142,9 +142,43 @@ def test_dedup_clusters_path_graph_converges(spark):
         [(min(a, b), max(a, b)) for a, b in zip(perm, perm[1:])],
         "doc_a long, doc_b long",
     )
-    got = dedup_clusters(docs, pairs)  # raises if > max_iters rounds
+    # local_edge_cap=0 forces the distributed star loop — the at-scale
+    # path this test exists to pin (the default would take the local
+    # union-find fallback for a 4k-edge graph)
+    got = dedup_clusters(docs, pairs, local_edge_cap=0)
     assert got.filter(F.col("canonical_id") != 0).count() == 0
     assert got.count() == n
+
+
+def test_dedup_clusters_local_matches_distributed(spark):
+    """The small-graph union-find fallback must label EXACTLY like the
+    distributed star loop: same path graph, both paths, equal output."""
+    import random
+
+    from go_parsesyslog_spark.operators.dedup import dedup_clusters
+
+    n = 512
+    rng = random.Random(23)
+    perm = list(range(n))
+    rng.shuffle(perm)
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n + 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in zip(perm, perm[1:])]
+        + [(n + 1, n + 3), (n + 3, n + 5)],
+        "doc_a long, doc_b long",
+    )
+    local = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup_clusters(docs, pairs, local_edge_cap=0).collect()
+    }
+    assert local == dist
+    assert len(local) == n + 8
 
 
 def test_dedup_clusters_raises_on_nonconvergence(spark):
@@ -160,7 +194,7 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(docs, pairs, max_iters=1)
+        dedup_clusters(docs, pairs, max_iters=1, local_edge_cap=0)
 
 
 def test_lsh_jaccard_chain_salting(spark):
