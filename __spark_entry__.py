@@ -70,7 +70,11 @@ def _t_layout(path: str) -> tuple[int, int]:
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallel: bool = True,
+    min_bytes: int | None = None,
 ) -> DataFrame:
     """Read a testdata table, fixing INPUT-SKEW parallelism: the bench
     tables are single parquet files with ONE row group, so however large
@@ -79,7 +83,7 @@ def _t(
     embedding UDFs) runs single-threaded (guide §2.5 'one huge
     unsplittable file → repartition immediately after the read').  The
     repartition is a deterministic hash on the table's id column sized
-    to the session parallelism; tiny dims (<4 MB — they broadcast
+    to the session parallelism; tiny dims (<0.4 MB — they broadcast
     anyway) and already-splittable multi-row-group files are left
     alone.  Value-neutral: every declared query is partitioning-
     independent (md5/xxhash-keyed determinism throughout).
@@ -88,7 +92,14 @@ def _t(
     map-side-combinable aggregation or a window that re-shuffles on its
     own key anyway, the extra exchange buys nothing and costs ~0.3 s —
     those call sites disable it deliberately (measured per query; the
-    guide's §1.2 'don't compute things you throw away')."""
+    guide's §1.2 'don't compute things you throw away').
+
+    ``min_bytes`` raises the size floor for ONE call site: some
+    consumers (cheap map-side aggs over a handful of derived columns)
+    only beat the exchange overhead once the single-task scan is a few
+    MB of decode+compute — they pass 4 MB (the measured crossover at
+    both bench scales) while UDF/regex-heavy consumers keep the
+    default 0.4 MB floor."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
@@ -102,7 +113,17 @@ def _t(
     # parallelize the scan.  Multi-row-group files (lineitem, orders)
     # already split; re-shuffling those 100+ MB facts here would cost
     # more than the downstream gains (joins/aggs re-key them anyway).
-    if row_groups == 1 and par > 1 and size >= 4_000_000:
+    # Floor 0.4 MB, NOT a "comfortable" few MB: the floor must be the
+    # exchange's break-even, not a scale knob — at sf0.1 the 2 MB
+    # events file left the whole wire-text+regex parse single-task
+    # (1.3 s for 100k rows; parallelized ≈0.4 s) while the exchange
+    # itself costs ~0.1-0.3 s.  Tables under 0.4 MB are genuine dims
+    # (customer/part/supplier at gate scales) that broadcast anyway.
+    # Env-overridable for tuning/odd storage (bytes).
+    floor = min_bytes if min_bytes is not None else int(
+        os.environ.get("SPARK_GRAFT_T_MIN_BYTES", 400_000)
+    )
+    if row_groups == 1 and par > 1 and size >= floor:
         df = df.repartition(par, F.col(key))
     return df
 
@@ -470,7 +491,7 @@ def q_tpch_q5ish(spark, sf_dir):
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", min_bytes=4_000_000)
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
@@ -810,7 +831,7 @@ def q_embedding_near_dups(spark, sf_dir):
         embedding_near_dup_pairs_exact,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", min_bytes=4_000_000)
     out = embedding_near_dup_pairs_exact(emb, threshold=0.9)
     return out.select("id_a", "id_b", F.round("sim", 3).alias("sim"))
 
@@ -1342,7 +1363,7 @@ def q_hll_distinct(spark, sf_dir):
     estimator — not just row plumbing."""
     from go_parsesyslog_spark.operators.sketches import hll_distinct
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", min_bytes=4_000_000)
     users = hll_distinct(
         ev, ["event_type"], "user_id", out_col="approx_users"
     ).select(
@@ -1426,7 +1447,7 @@ def q_length_profile(spark, sf_dir):
         corpus_length_profile,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", min_bytes=4_000_000)
     return corpus_length_profile(docs)
 
 
@@ -1438,7 +1459,7 @@ def q_normalize_profile(spark, sf_dir):
     length, so any divergence in any row fails the hash."""
     from go_parsesyslog_spark.operators.quality import normalize_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", min_bytes=4_000_000)
     return normalize_text(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.length("norm_text").cast("long").alias("norm_len"),
@@ -1455,7 +1476,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
     min-fold estimate, AND the ranking."""
     from go_parsesyslog_spark.operators.sketches import cms_heavy_hitters
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", min_bytes=4_000_000)
     terms = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )
@@ -2027,7 +2048,7 @@ def q_profile_events(spark, sf_dir):
     shuffle of partial states, never six jobs)."""
     from go_parsesyslog_spark.operators.checks import profile_table
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", min_bytes=4_000_000)
     return profile_table(
         ev, ["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
