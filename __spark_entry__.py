@@ -676,7 +676,7 @@ def q_ann_cosine_ivf(spark, sf_dir):
     Reducing n_probe is the documented recall/cost knob at scale."""
     from go_parsesyslog_spark.operators.similarity import cosine_topk_ivf
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", min_bytes=4_000_000)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -949,7 +949,7 @@ def q_ann_ivf_reduced_probe(spark, sf_dir):
         fixed_random_centroids,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", min_bytes=4_000_000)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -978,7 +978,7 @@ def q_ann_ivf_trained(spark, sf_dir):
         load_centroid_fixture,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", min_bytes=4_000_000)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1006,7 +1006,7 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     stay pytest-pinned for recall."""
     from go_parsesyslog_spark.operators.similarity import cosine_topk_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", min_bytes=4_000_000)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1145,7 +1145,7 @@ def q_train_val_split(spark, sf_dir):
     arithmetic (engine-agnostic, unlike xxhash64 which DuckDB lacks),
     so the assignment is bit-identical everywhere and stable across
     runs/partitionings: 90/10 by first 8 md5 hex digits mod 100."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", min_bytes=4_000_000)
     bucket = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
                16, 10).cast("long") % 100
@@ -1186,7 +1186,7 @@ def q_pack_shards(spark, sf_dir):
     the single-window SQL formulation the operator must equal exactly."""
     from go_parsesyslog_spark.operators.curation import pack_shards
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = _t(spark, sf_dir, "documents", min_bytes=4_000_000).withColumn(
         "n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     )
     return pack_shards(
@@ -1499,7 +1499,7 @@ def q_bloom_decontaminate(spark, sf_dir):
         bloom_probe,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", min_bytes=4_000_000)
     fp = docs.select(
         "doc_id", "source", F.md5(F.col("text")).alias("fp")
     )
@@ -1556,7 +1556,7 @@ def q_conv_reassembly(spark, sf_dir):
         reassemble_conversations,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", min_bytes=4_000_000)
     out = reassemble_conversations(
         ev, "user_id", "event_type", ["ts", "event_id"]
     )
@@ -2031,7 +2031,7 @@ def q_contrastive_negatives(spark, sf_dir):
         contrastive_negatives,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", min_bytes=4_000_000)
     return contrastive_negatives(
         ev, "user_id", "event_type", "purchase", 5, "event_id"
     ).select(
@@ -2065,7 +2065,7 @@ def q_resample_daily(spark, sf_dir):
     hash is float-free."""
     from go_parsesyslog_spark.operators.aggregate import resample_ffill
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _t(spark, sf_dir, "events", min_bytes=4_000_000).withColumn(
         "cents", F.floor(F.col("value") * 100).cast("long")
     )
     out = resample_ffill(ev, "user_id", "ts", "cents", 86400,

@@ -181,13 +181,24 @@ def _materialize_availablenow(
     count is bounded by window/session/key cardinality — a gate-shim
     collect, not a production sink (those are stream_routed_sink /
     stream_windowed_metrics, parquet + checkpoints)."""
+    import os
     import shutil
     import tempfile
 
     global _memory_sink_counter
     _memory_sink_counter += 1
     name = f"{name_prefix}_{_memory_sink_counter}"
-    ckpt = tempfile.mkdtemp(prefix=f"gps_stream_ckpt_{name}_")
+    # The gate checkpoint is THROWAWAY (deleted in the finally below),
+    # so durability buys nothing — put it on tmpfs when available: the
+    # HDFS-backed state store writes one fsync'd delta + commit file
+    # per store per batch, and on a disk-backed /tmp those tiny
+    # synchronous writes are a measurable slice of the fixed lifecycle
+    # cost.  Production sinks pass their own (durable) checkpoint
+    # paths and are untouched.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(
+        prefix=f"gps_stream_ckpt_{name}_", dir=ckpt_base
+    )
     # Stateful operators open one state store PER shuffle partition per
     # store instance (a stream-stream join opens FOUR), so at gate scale
     # the fixed store lifecycle dominates the row work; callers with
@@ -434,7 +445,7 @@ def availablenow_interval_join(
         ).cast("long").alias("delay_sec"),
     )
     return _materialize_availablenow(
-        spark, joined, "stream_interval_join", shuffle_partitions=8
+        spark, joined, "stream_interval_join", shuffle_partitions=4
     )
 
 
