@@ -112,21 +112,38 @@ def compute_hot_set(
     """ONE column-pruned pre-aggregation over the raw input detecting the
     hot conversations (rows > threshold).
 
-    Returns ``{"threshold", "count", "ids", "path"}``: hot sets up to
-    ``literal_cap`` come back as a plain ``ids`` list (fold into the
-    route expression as an isin literal — cheapest, no join); larger sets
-    are written to ``spill_path`` parquet and come back as ``path`` for
-    the broadcast-join route — nothing is ever silently truncated, and
-    driver memory stays bounded at 10^12-turn scale."""
-    conv_counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_rows"))
+    Returns ``{"threshold", "count", "ids", "path", "max_conv_rows",
+    "total_rows"}``: hot sets up to ``literal_cap`` come back as a plain
+    ``ids`` list (fold into the route expression as an isin literal —
+    cheapest, no join); larger sets are written to ``spill_path``
+    parquet and come back as ``path`` for the broadcast-join route —
+    nothing is ever silently truncated, and driver memory stays bounded
+    at 10^12-turn scale.  ``max_conv_rows``/``total_rows`` let the
+    writer size its salt spread to the data instead of a constant
+    (guide §2: scale-adaptive partitioning)."""
+    conv_counts = (
+        df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_rows"))
+        # one input scan feeds both the stats agg and the hot filter:
+        # without this the two driver actions below each re-scan the
+        # full input to rebuild the (conv_id, _rows) aggregate
+        .localCheckpoint()
+    )
+    stats = conv_counts.agg(
+        F.avg("_rows").alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("_rows").alias("mx"),
+    ).collect()[0]
     if hot_threshold is None:
-        mean = conv_counts.agg(F.avg("_rows")).collect()[0][0]
-        hot_threshold = max(64, int(4 * (mean or 1)))
+        hot_threshold = max(64, int(4 * (stats["mean"] or 1)))
+    max_rows = int(stats["mx"] or 0)
+    total_rows = int(round((stats["mean"] or 0) * (stats["n"] or 0)))
     hot = conv_counts.filter(F.col("_rows") > hot_threshold).select("conv_id")
     head = [r["conv_id"] for r in hot.limit(literal_cap + 1).collect()]
     if len(head) <= literal_cap:
         return {"threshold": hot_threshold, "count": len(head),
-                "ids": head, "path": None}
+                "ids": head, "path": None,
+                "max_conv_rows": max_rows, "total_rows": total_rows}
     if spill_path is None:
         raise ValueError(
             f"hot set exceeds literal cap ({literal_cap}); pass spill_path "
@@ -135,7 +152,8 @@ def compute_hot_set(
     hot.coalesce(1).write.mode("overwrite").parquet(spill_path)
     n = df.sparkSession.read.parquet(spill_path).count()
     return {"threshold": hot_threshold, "count": n, "ids": None,
-            "path": spill_path}
+            "path": spill_path,
+            "max_conv_rows": max_rows, "total_rows": total_rows}
 
 
 def hot_conv_ids(

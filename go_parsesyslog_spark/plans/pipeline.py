@@ -94,6 +94,7 @@ def _process_unit(
     salt_buckets: int,
     hot_set: dict,
     n_shuffle: int,
+    salt_spread: int = 0,
 ) -> tuple[int, int]:
     df = spark.read.parquet(*files)
     parsed = parse_logs(df, text_col="text", fmt=fmt, ref_now=ref_now)
@@ -132,11 +133,25 @@ def _process_unit(
     # Spark job 1: the only pass over the input.  Iceberg when the
     # runtime jar is present, partitioned parquet otherwise (probe +
     # logged fallback — sources/tableformat.py).
-    write_partitioned(
-        final.repartition(n_shuffle, "sink_sev", "sink_key", "salt"),
-        unit_out,
-        ["sink_sev", "sink_key"],
-    )
+    #
+    # The shuffle key decides how many writer tasks (= output files) a
+    # (sink_sev, sink_key) cell spans.  The salt COLUMN always carries
+    # the full per-row value; how much of it participates in the
+    # shuffle is sized to the data (``salt_spread``, derived in
+    # run_pipeline): a cell only needs several writers when it can
+    # exceed one writer's comfortable file size, otherwise spreading it
+    # just fragments the sink into per-salt shards (measured at sf0.1:
+    # 2,503 files → 540 for identical 52 MB of output, and the write
+    # phase halved).  At full spread the key is byte-identical to the
+    # previous (sev, key, salt) behavior.
+    if salt_spread > 1:
+        spread_key = F.pmod(F.col("salt"), F.lit(salt_spread))
+        shuffled = final.repartition(
+            n_shuffle, F.col("sink_sev"), F.col("sink_key"), spread_key
+        )
+    else:
+        shuffled = final.repartition(n_shuffle, "sink_sev", "sink_key")
+    write_partitioned(shuffled, unit_out, ["sink_sev", "sink_key"])
 
     # Spark job 2: windowed metrics over the freshly written unit
     # (column-pruned scan); the small result merges driver-side.
@@ -202,6 +217,29 @@ def run_pipeline(
         unit_parallelism = min(len(units), max(2, total_cores // 2))
     n_shuffle = max(8, total_cores // max(1, unit_parallelism))
 
+    # Scale-adaptive salt spread for the fan-out write (guide §2.5/§6):
+    # salting exists to split one oversized write cell across several
+    # writer tasks.  A cell needs ceil(rows / target-rows-per-writer)
+    # writers; below that, per-salt spreading only multiplies the file
+    # count (x4.6 measured at sf0.1) and the commit/footer overhead
+    # with zero skew benefit.  Sized from BOTH the largest single
+    # conversation (the skew unit the salt was built for) and the mean
+    # rows per (cell, unit) (so uniformly huge inputs still fan out),
+    # it reaches the full ``salt_buckets`` spread automatically at
+    # cluster scale — at 10^9-row hot conversations this reproduces the
+    # round-5 behavior bit-for-bit (pmod(salt, spread) == salt at full
+    # spread).  The salt COLUMN itself is untouched either way.
+    target = int(os.environ.get("SPARK_GRAFT_SALT_TARGET_ROWS", 1_000_000))
+    max_conv = int(hot_set.get("max_conv_rows") or 0)
+    total_rows_est = int(hot_set.get("total_rows") or 0)
+    n_cells = max(1, n_buckets)  # sev classes x conv buckets >= n_buckets
+    mean_cell = total_rows_est / max(1, len(pending) or 1) / n_cells
+    need = max(
+        -(-max_conv // target),          # ceil
+        -(-int(mean_cell) // target),
+    )
+    salt_spread = int(min(salt_buckets, max(1, need)))
+
     def run_one(unit):
         unit_id, files = unit
         lineage.clean_partial_unit(out_root, unit_id)
@@ -212,7 +250,7 @@ def run_pipeline(
         tu = time.time()
         valid, dlq = _process_unit(
             spark, files, unit_out, metrics_out, fmt, ref_now,
-            n_buckets, salt_buckets, hot_set, n_shuffle,
+            n_buckets, salt_buckets, hot_set, n_shuffle, salt_spread,
         )
         lineage.record_unit(
             out_root,

@@ -225,6 +225,56 @@ def test_salting_splits_hot_conversations(spark, input_dir):
     assert [row["salt"] for row in cold_salts] == [0]
 
 
+def test_salt_spread_scales_with_data(spark, input_dir, tmp_path_factory):
+    """The fan-out write's salt spread must size itself to the data:
+    below the per-writer row target a (sink_sev, sink_key) cell writes
+    ONE file per unit (no per-salt fragmentation); forcing a tiny
+    target reproduces the full salted spread — with an identical row
+    multiset either way (the salt COLUMN itself never changes)."""
+    import glob
+
+    from go_parsesyslog_spark.operators.route import compute_hot_set
+
+    stats = compute_hot_set(
+        spark.read.parquet(input_dir).select("conv_id"), hot_threshold=100
+    )
+    assert stats["total_rows"] == N_ROWS
+    assert 100 < stats["max_conv_rows"] <= N_ROWS
+
+    out_a = str(tmp_path_factory.mktemp("spread_default"))
+    out_b = str(tmp_path_factory.mktemp("spread_forced"))
+    run_pipeline(spark, input_dir, out_a, n_units=2, n_buckets=8,
+                 resume=False)
+    os.environ["SPARK_GRAFT_SALT_TARGET_ROWS"] = "1"
+    try:
+        run_pipeline(spark, input_dir, out_b, n_units=2, n_buckets=8,
+                     resume=False)
+    finally:
+        del os.environ["SPARK_GRAFT_SALT_TARGET_ROWS"]
+
+    def files_per_dir(root):
+        counts = {}
+        for f in glob.glob(os.path.join(root, "sinks", "*", "*", "*",
+                                        "*.parquet")):
+            counts.setdefault(os.path.dirname(f), 0)
+            counts[os.path.dirname(f)] += 1
+        return counts
+
+    a_counts = files_per_dir(out_a)
+    b_counts = files_per_dir(out_b)
+    # default target (1M rows/writer) >> 4k-row input: one file per dir
+    assert max(a_counts.values()) == 1
+    # forced 1-row target: hot cells fan out across several writers
+    assert max(b_counts.values()) > 1
+
+    cols = ["conv_id", "turn_idx", "sink_sev", "sink_key", "salt"]
+    rows_a = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out_a, "sinks")).select(*cols).collect()))
+    rows_b = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out_b, "sinks")).select(*cols).collect()))
+    assert rows_a == rows_b
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory, sf_dir):
     """Co-located join: two tables bucketed on the same key must
     sort-merge join with ZERO exchanges — the write-once-shuffle-never
