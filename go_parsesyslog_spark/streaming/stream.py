@@ -170,6 +170,26 @@ def _cleanup_file_sink_dirs() -> None:
         shutil.rmtree(_file_sink_dirs.pop(), ignore_errors=True)
 
 
+def _gate_sink_for(events_path: str) -> str:
+    """Size-adaptive gate sink: queries whose output scales with the
+    input (row-per-input projections, per-row dedup survivors) switch
+    from the driver-memory sink to the parallel parquet sink once the
+    input outgrows the measured break-even; small-cardinality outputs
+    (windows, sessions, join matches) stay on the memory sink at the
+    call site."""
+    import glob
+    import os
+
+    paths = glob.glob(os.path.join(events_path, "*.parquet")) or (
+        [events_path] if os.path.isfile(events_path) else []
+    )
+    in_bytes = sum(os.path.getsize(p) for p in paths)
+    threshold = int(
+        os.environ.get("SPARK_GRAFT_STREAM_FILE_SINK_BYTES", 8_000_000)
+    )
+    return "files" if in_bytes >= threshold else "memory"
+
+
 def _materialize_availablenow(
     spark: SparkSession, stream_df: DataFrame, name_prefix: str,
     shuffle_partitions: int | None = None,
@@ -365,9 +385,12 @@ def availablenow_dedup_keys(
     # below: at gate scale the per-store open/commit lifecycle dominates
     # the row work (measured 3.5 -> 2.5 s at 32 -> 16 stores on a 1 M-row
     # batch); production streams size their own checkpointed partitioning
+    # the survivor set scales with the input (one row per distinct key:
+    # 10^6 narrow rows at driver scale) → size-adaptive gate sink
     return _materialize_availablenow(
         spark, deduped, "stream_dedup_keys",
         shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
+        sink=_gate_sink_for(events_path),
     )
 
 
@@ -586,18 +609,7 @@ def availablenow_grok_extract(
     # below ~10^5 rows the parquet round-trip costs more than it saves
     # (1.0 s → 1.2 s).  Pick by input size, same discipline as the
     # batch reader's parallelism floor; the small-cardinality gate
-    # queries (windows/sessions/keys) always keep the memory sink.
-    import glob as _glob
-    import os as _os
-
-    in_bytes = sum(
-        _os.path.getsize(p)
-        for p in _glob.glob(_os.path.join(events_path, "*.parquet"))
-        or ([events_path] if _os.path.isfile(events_path) else [])
-    )
-    big = in_bytes >= int(
-        _os.environ.get("SPARK_GRAFT_STREAM_FILE_SINK_BYTES", 8_000_000)
-    )
+    # queries (windows/sessions/joins) always keep the memory sink.
     return _materialize_availablenow(
-        spark, parsed, "stream_grok", sink="files" if big else "memory"
+        spark, parsed, "stream_grok", sink=_gate_sink_for(events_path)
     )
