@@ -84,9 +84,15 @@ NATIVE_5424_RE = (
     # \z, NOT $ (see NATIVE_3164_RE): with $, a framed message whose body
     # ends in \n would match with the \n silently excluded from the body
     # group, corrupting the frame-length reconciliation (e.g. an
-    # exact-length frame would misclassify as premature_eof).  With \z
-    # such rows simply fail the pattern and take the exact Python path.
-    r"(?:( )([^\n]*+))?+\z"
+    # exact-length frame would misclassify as premature_eof).  The body
+    # group instead captures one trailing newline EXPLICITLY (same as
+    # NATIVE_3164_RE): octet framing counts a terminating \n into the
+    # frame, so every octet-file message ends with one — without this
+    # the whole octet-framed read ran 100% on the Python fallback.
+    # With the \n inside the capture, body_len and md both count it and
+    # the frame reconciliation is unchanged; interior newlines still
+    # fail the pattern and take the exact Python path.
+    r"(?:( )([^\n]*+\n?+))?+\z"
 )
 _N5 = 10
 _TPL5 = SEP.join(f"${i}" for i in range(1, _N5 + 1))

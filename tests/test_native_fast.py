@@ -75,6 +75,36 @@ def test_mutations_native(spark, seed):
     _assert_equal(spark, muts, "auto")
 
 
+def test_newline_terminated_frames_native(spark):
+    """Octet framing counts a terminating \\n into the frame, so every
+    message read from an octet file ends with one.  The native pattern
+    captures that newline into the body (like the 3164 pattern always
+    has) — these rows must parse natively AND byte-identically to the
+    exact Python engine across every framing-outcome class."""
+    from go_parsesyslog_spark.operators.native_fast import native_5424_mask
+
+    hdr = "<165>1 2024-01-02T03:04:05Z host app proc mid [ex@1 k=\"v\"] "
+    body = "hello world #42\n"
+    content = hdr + body
+    exact = f"{len(content)} {content}"
+    lines = [
+        exact,                                    # exact frame incl. \n
+        f"{len(content) + 1} {content}",          # short read → premature_eof
+        f"{len(content) - 4} {content}",          # truncated body
+        f"{len(hdr) + 2} {hdr}x\n",               # body < 3 → early accept
+        f"{len(hdr) + 1} {hdr}\n",                # bare \n body → early
+        f"{len(content)} {hdr}hello\nworld\n",    # interior \n → Python path
+        exact.rstrip("\n"),                       # no newline: unchanged
+    ]
+    _assert_equal(spark, lines, "rfc5424")
+    # the canonical single-trailing-newline rows must take the JVM path
+    df = spark.createDataFrame([(ln,) for ln in lines[:5]], "text string")
+    n_native = df.select(
+        native_5424_mask(F.col("text")).alias("ok")
+    ).filter("ok").count()
+    assert n_native == 5, n_native
+
+
 def test_native_filter_explode_after_parse(spark):
     """Regression (round-1 crash): Catalyst pushes predicates derived
     from parsed columns (e.g. the implicit filter of explode) below the
